@@ -1,0 +1,405 @@
+"""Model-fitting front end.
+
+TPU-native equivalent of the reference's R orchestration layer + C++ setup
+(reference R/sgdnet.R:183-433 and src/sgdnet.cpp:119-285): input validation,
+response encoding, feature standardization, lambda-path construction, solver
+dispatch, and output assembly into an `SgdnetFit`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgdnet_tpu.core.sparse import PaddedCSR
+from sgdnet_tpu.families import get_family
+from sgdnet_tpu.penalties import select_penalty
+from sgdnet_tpu.solver.saga import SagaState, SolverConfig, fit_path, init_state
+from sgdnet_tpu.solver.stepsize import power_iteration_sq_norm, saga_step_sizes
+
+FAMILIES = ("gaussian", "binomial", "multinomial", "mgaussian")
+
+
+@dataclass
+class SgdnetFit:
+    """Fitted regularization path (reference fit object, R/sgdnet.R:131-156).
+
+    Coefficients are stored as `beta` with shape (n_lambda, k, p) on the
+    original data scale; `a0` is (n_lambda, k).
+    """
+
+    a0: np.ndarray
+    beta: np.ndarray
+    lambda_: np.ndarray
+    dev_ratio: np.ndarray
+    df: np.ndarray
+    dfmat: np.ndarray | None
+    nulldev: float
+    npasses: int
+    return_codes: np.ndarray
+    alpha: float
+    family: str
+    classnames: list | None
+    grouped: bool
+    nobs: int
+    offset: bool = False
+    feature_names: list | None = None
+    diagnostics: dict | None = None
+    #: everything needed to refit (predict(..., exact=True))
+    _refit_args: dict | None = field(default=None, repr=False)
+
+    @property
+    def n_lambda(self) -> int:
+        return len(self.lambda_)
+
+    @property
+    def n_classes(self) -> int:
+        return self.beta.shape[1]
+
+    @property
+    def n_features(self) -> int:
+        return self.beta.shape[2]
+
+    def predict(self, newx=None, s=None, type="link", exact=False, **kwargs):
+        from sgdnet_tpu.api.predict import predict
+
+        return predict(self, newx=newx, s=s, type=type, exact=exact, **kwargs)
+
+    def coef(self, s=None, **kwargs):
+        from sgdnet_tpu.api.predict import predict
+
+        return predict(self, s=s, type="coefficients", **kwargs)
+
+    def deviance(self):
+        """Deviance along the path: (1 - dev_ratio) * nulldev
+        (reference R/deviance.sgdnet.R:33-35)."""
+        return (1.0 - self.dev_ratio) * self.nulldev
+
+    def score(self, x, y, type_measure="deviance", s=None):
+        from sgdnet_tpu.api.score import score
+
+        return score(self, x, y, type_measure=type_measure, s=s)
+
+    def plot(self, **kwargs):
+        from sgdnet_tpu.api.plot import plot_path
+
+        return plot_path(self, **kwargs)
+
+    def __repr__(self):
+        return (
+            f"SgdnetFit(family={self.family!r}, alpha={self.alpha}, "
+            f"n_lambda={self.n_lambda}, nobs={self.nobs}, "
+            f"n_features={self.n_features}, npasses={self.npasses})"
+        )
+
+    def print_path(self, max_rows: int = 100):
+        """Path summary table (reference R/print.sgdnet.R:38-45)."""
+        lines = ["     Df   %Dev   Lambda"]
+        for i in range(min(self.n_lambda, max_rows)):
+            lines.append(f"{i:>3} {int(self.df[i]):>4} {self.dev_ratio[i]:6.2f} {self.lambda_[i]:>9.4g}")
+        return "\n".join(lines)
+
+
+def _as_design_matrix(x, dtype):
+    """Accept numpy/jax dense, scipy sparse, or PaddedCSR."""
+    if isinstance(x, PaddedCSR):
+        return x, True
+    try:
+        import scipy.sparse as sp
+
+        if sp.issparse(x):
+            return PaddedCSR.from_scipy(x, dtype=dtype), True
+    except ImportError:
+        pass
+    x = jnp.asarray(np.asarray(x), dtype=dtype)
+    if x.ndim != 2:
+        raise ValueError("x must be a 2-D matrix")
+    return x, False
+
+
+def _weighted_column_stats(x: jnp.ndarray, weights: jnp.ndarray):
+    w = weights.reshape(-1, 1).astype(jnp.float64)
+    W = jnp.maximum(jnp.sum(w), 1e-12)
+    xf = x.astype(jnp.float64)
+    mean = jnp.sum(xf * w, axis=0) / W
+    var = jnp.sum(w * (xf - mean) ** 2, axis=0) / W
+    sd = jnp.where(var == 0.0, 1.0, jnp.sqrt(var))
+    return mean, sd
+
+
+def fit(
+    x,
+    y,
+    family: str = "gaussian",
+    alpha: float = 1.0,
+    nlambda: int = 100,
+    lambda_min_ratio: float | None = None,
+    lambda_path=None,
+    maxit: int = 1000,
+    standardize: bool = True,
+    intercept: bool = True,
+    thresh: float = 0.001,
+    standardize_response: bool = False,
+    type_multinomial: str = "ungrouped",
+    sample_weight=None,
+    batch_size: int = 32,
+    dtype=jnp.float32,
+    seed: int = 0,
+    debug: bool = False,
+    warm_state: SagaState | None = None,
+    intercept_decay: float | None = None,
+    sparse_mode: str | None = None,
+    feature_names=None,
+) -> SgdnetFit:
+    """Fit an elastic-net regularized GLM path with batched SAGA.
+
+    API modeled on the reference's `sgdnet()` (reference R/sgdnet.R:183-199):
+    `alpha` is the elastic-net mix, `lambda_path` the optional explicit
+    penalty sequence, `thresh` the relative-change convergence tolerance.
+    Extensions over the reference: observation weights (`sample_weight` —
+    documented-but-unimplemented there, R/sgdnet.R:341), grouped multinomial
+    (unreachable from the reference R layer, R/sgdnet.R:265-272),
+    `batch_size`, dtype and PRNG seed control.
+    """
+    # ---- validation (reference R/sgdnet.R:211-263) ----
+    if family not in FAMILIES:
+        raise ValueError(f"family must be one of {FAMILIES}")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("elastic net mixing parameter (alpha) must be in [0, 1].")
+    if thresh < 0:
+        raise ValueError("threshold for stopping criteria cannot be negative.")
+    if maxit <= 0:
+        raise ValueError("maximum number of iterations cannot be negative or zero.")
+
+    x, is_sparse = _as_design_matrix(x, dtype)
+    n_samples, n_features = x.shape
+    if n_samples == 0:
+        raise ValueError("the predictor matrix (x) is empty.")
+
+    y_arr = np.asarray(y)
+    if y_arr.shape[0] != n_samples:
+        raise ValueError("the number of samples in 'x' and 'y' must match")
+    if y_arr.shape[0] == 0:
+        raise ValueError("the response (y) is empty.")
+    if y_arr.dtype != object and np.issubdtype(y_arr.dtype, np.number) and np.isnan(
+        y_arr.astype(np.float64)
+    ).any():
+        raise ValueError("NA values are not allowed.")
+
+    if lambda_path is not None:
+        lambda_path = np.atleast_1d(np.asarray(lambda_path, dtype=np.float64))
+        if (lambda_path < 0).any():
+            raise ValueError("penalty strengths (lambdas) must be positive.")
+        nlambda = len(lambda_path)
+    if nlambda == 0:
+        raise ValueError("lambda path cannot be of zero length.")
+
+    # ---- response encoding (reference R/sgdnet.R:277-339) ----
+    fam = get_family(family, standardize_response=standardize_response)
+    y_enc, classnames = fam.encode(y_arr)
+    n_classes = fam.n_classes
+    y_dev = jnp.asarray(y_enc, dtype=dtype)
+
+    grouped = family == "mgaussian" or (family == "multinomial" and type_multinomial == "grouped")
+    penalty = select_penalty(alpha, family, type_multinomial)
+
+    if sample_weight is None:
+        weights_np = np.ones((n_samples,), dtype=np.float64)
+    else:
+        weights_np = np.asarray(sample_weight, dtype=np.float64)
+        if weights_np.shape != (n_samples,):
+            raise ValueError("sample_weight must have one entry per sample")
+        if (weights_np < 0).any():
+            raise ValueError("sample_weight must be nonnegative")
+    weights = jnp.asarray(weights_np, dtype=dtype)
+    w_total = float(weights_np.sum())
+    if w_total <= 0:
+        raise ValueError("sample weights sum to zero")
+
+    # ---- feature standardization (reference src/sgdnet.cpp:143-151) ----
+    xc = None  # sparse centering correction term (center/scale)
+    if standardize:
+        if is_sparse:
+            x_center64, x_scale64 = x.column_stats()
+            x = x.scale_columns(x_scale64)
+            xc = (x_center64 / x_scale64).astype(dtype)
+            x_center, x_scale = x_center64, x_scale64
+        else:
+            x_center, x_scale = _weighted_column_stats(x, weights)
+            x = ((x.astype(jnp.float64) - x_center) / x_scale).astype(dtype)
+    else:
+        x_center = jnp.zeros((n_features,), jnp.float64)
+        x_scale = jnp.ones((n_features,), jnp.float64)
+
+    # ---- null deviance on the original response (src/sgdnet.cpp:154) ----
+    nulldev = float(fam.null_deviance(y_dev.astype(jnp.float64), intercept, weights.astype(jnp.float64)))
+
+    # ---- response preprocessing (always, src/sgdnet.cpp:158) ----
+    y_proc64, y_center, y_scale = fam.preprocess(y_dev.astype(jnp.float64))
+    y_proc = y_proc64.astype(dtype)
+
+    # ---- lambda path (reference src/utils.h:142-181) ----
+    if lambda_path is None:
+        lam_max = float(fam.lambda_max(x, y_proc64, y_scale)) / max(alpha, 0.001)
+        if lam_max > 0.0 and np.isfinite(lam_max):
+            if lambda_min_ratio is None:
+                lambda_min_ratio = 0.01 if n_samples < n_features else 1e-4
+            lambdas = np.exp(np.linspace(np.log(lam_max), np.log(lam_max * lambda_min_ratio), nlambda))
+        else:
+            lambdas = np.zeros(nlambda)
+    else:
+        lambdas = lambda_path
+
+    max_scale = float(jnp.max(y_scale))
+    l2s = (1.0 - alpha) * lambdas / max_scale  # reference's `alpha` (src/utils.h:176)
+    l1s = alpha * lambdas / max_scale  # reference's `beta` (src/utils.h:178)
+
+    # ---- step sizes (reference src/utils.h:31-51 + minibatch extension) ----
+    active = (weights > 0).astype(jnp.float64)
+    if is_sparse:
+        # squared norms of (scaled, centered) rows without densifying
+        row_sq = x.max_squared_row_norm(xc)  # max over all rows incl. pad-irrelevant
+        # recompute per-row for masking
+        vals64 = x.values.astype(jnp.float64)
+        per_row = jnp.sum(vals64**2, axis=1)
+        if xc is not None:
+            c = xc.astype(jnp.float64)
+            cross = jnp.sum(vals64 * c[x.indices], axis=1)
+            per_row = per_row - 2.0 * cross + jnp.sum(c**2)
+        max_sq = float(jnp.max(per_row * active))
+    else:
+        per_row = jnp.sum(x.astype(jnp.float64) ** 2, axis=1)
+        max_sq = float(jnp.max(per_row * active))
+
+    if batch_size > 1:
+        top_sq = float(power_iteration_sq_norm(x, xc)) / w_total
+    else:
+        top_sq = None
+    gammas = saga_step_sizes(
+        max_sq, top_sq, jnp.asarray(l2s), w_total, batch_size, intercept, fam.L_scaling
+    )
+
+    # ---- pad rows to a multiple of batch_size ----
+    n_pad = ((n_samples + batch_size - 1) // batch_size) * batch_size
+    if n_pad > n_samples:
+        extra = n_pad - n_samples
+        if is_sparse:
+            x = x.pad_rows(n_pad)
+        else:
+            x = jnp.concatenate([x, jnp.zeros((extra, n_features), x.dtype)])
+        y_proc = jnp.concatenate([y_proc, jnp.zeros((extra, y_proc.shape[1]), y_proc.dtype)])
+        weights = jnp.concatenate([weights, jnp.zeros((extra,), weights.dtype)])
+
+    # ---- solver state (reference src/sgdnet.cpp:187-211) ----
+    if warm_state is None:
+        state0 = init_state(n_pad, n_features, n_classes, dtype)
+        # intercept warm-started at the null model (src/sgdnet.cpp:210)
+        null_int = fam.null_intercept(
+            y_proc.astype(jnp.float64)[:n_pad], intercept, weights.astype(jnp.float64)
+        )
+        state0 = state0._replace(intercept=null_int.astype(dtype))
+    else:
+        state0 = warm_state
+
+    null_dev_scaled = float(
+        fam.null_deviance(y_proc.astype(jnp.float64), intercept, weights.astype(jnp.float64))
+    )
+
+    if intercept_decay is None:
+        intercept_decay = 0.01 if is_sparse else 1.0
+    if sparse_mode is None:
+        sparse_mode = "densify" if n_features <= 8192 else "gather"
+
+    config = SolverConfig(
+        batch_size=batch_size,
+        max_iter=maxit,
+        fit_intercept=intercept,
+        intercept_decay=intercept_decay,
+        g_sum_refresh=True,
+        sparse_mode=sparse_mode,
+        debug=debug,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    state, n_iter, results = fit_path(
+        x,
+        y_proc,
+        weights,
+        xc,
+        jnp.asarray(gammas, dtype),
+        jnp.asarray(l1s, dtype),
+        jnp.asarray(l2s, dtype),
+        jnp.asarray(thresh, dtype),
+        key,
+        state0,
+        fam,
+        penalty,
+        config,
+    )
+
+    # ---- rescale to original units (reference src/utils.h:352-378) ----
+    w_path = np.asarray(results.w, dtype=np.float64)  # (nl, k, p)
+    b_path = np.asarray(results.intercept, dtype=np.float64)  # (nl, k)
+    x_scale_np = np.asarray(x_scale)
+    x_center_np = np.asarray(x_center)
+    y_scale_np = np.asarray(y_scale)
+    y_center_np = np.asarray(y_center)
+
+    beta = w_path * y_scale_np[None, :, None] / x_scale_np[None, None, :]
+    a0 = b_path * y_scale_np[None, :]
+    if intercept:
+        a0 = a0 + y_center_np[None, :] - np.einsum("j,lkj->lk", x_center_np, beta)
+
+    # multinomial intercepts re-centered to sum 0 (reference R/sgdnet.R:409-410)
+    if family == "multinomial":
+        a0 = a0 - a0.mean(axis=1, keepdims=True)
+
+    dev = np.asarray(results.deviance, dtype=np.float64)
+    if null_dev_scaled != 0.0:
+        dev_ratio = 1.0 - dev / null_dev_scaled
+    else:  # degenerate constant-response case
+        dev_ratio = np.zeros_like(dev)
+
+    nz = np.abs(beta) > 0
+    df = nz.any(axis=1).sum(axis=1)  # features nonzero in any class
+    dfmat = nz.sum(axis=2).T if n_classes > 1 else None  # (k, nl)
+
+    diagnostics = None
+    if debug:
+        diagnostics = {"loss": np.asarray(results.losses, dtype=np.float64)}
+
+    fit_obj = SgdnetFit(
+        a0=a0 if n_classes > 1 else a0[:, 0],
+        beta=beta,
+        lambda_=np.asarray(lambdas, dtype=np.float64),
+        dev_ratio=dev_ratio,
+        df=df,
+        dfmat=dfmat,
+        nulldev=nulldev,
+        npasses=int(n_iter),
+        return_codes=np.asarray(results.return_codes),
+        alpha=alpha,
+        family=family,
+        classnames=classnames,
+        grouped=grouped,
+        nobs=n_samples,
+        feature_names=list(feature_names) if feature_names is not None else None,
+        diagnostics=diagnostics,
+    )
+    fit_obj._refit_args = dict(
+        family=family,
+        alpha=alpha,
+        maxit=maxit,
+        standardize=standardize,
+        intercept=intercept,
+        thresh=thresh,
+        standardize_response=standardize_response,
+        type_multinomial=type_multinomial,
+        batch_size=batch_size,
+        dtype=dtype,
+        seed=seed,
+    )
+    return fit_obj

@@ -1,0 +1,159 @@
+"""Padded-CSR sparse matrix container for TPU.
+
+The reference keeps features in an Eigen CSC/CSR sparse matrix and walks
+per-sample nonzeros with scalar iterators (reference src/saga-sparse.h:90-130).
+On TPU we need static shapes, so a sparse design matrix is stored as a
+row-padded layout:
+
+    indices : (n, L) int32   column index of each nonzero, 0-padded
+    values  : (n, L) float   nonzero values, 0.0-padded
+    nnz     : (n,)   int32   true nonzero count per row
+
+where L = max row nnz (optionally rounded up to a lane multiple).  Padding
+with value 0.0 makes padded entries mathematically inert in every gather/
+scatter the solver performs, so no masking is needed on the compute path.
+
+Column statistics reproduce the reference's sparse-aware population variance
+(zeros counted, zero-variance columns get SD 1.0 — reference src/math.h:89-112)
+without ever densifying, and standardization is scale-only in place with the
+centering folded into a rank-1 correction term exactly as the reference does
+(reference src/utils.h:110-121, src/saga-sparse.h:276-277).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PaddedCSR:
+    """Row-padded CSR sparse matrix of logical shape (n_rows, n_cols)."""
+
+    indices: jnp.ndarray  # (n, L) int32
+    values: jnp.ndarray  # (n, L) float
+    nnz: jnp.ndarray  # (n,) int32
+    n_rows: int
+    n_cols: int
+
+    def tree_flatten(self):
+        return (self.indices, self.values, self.nnz), (self.n_rows, self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        indices, values, nnz = children
+        return cls(indices, values, nnz, *aux)
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def row_width(self) -> int:
+        return self.indices.shape[1]
+
+    @classmethod
+    def from_dense(cls, x: np.ndarray, dtype=jnp.float32, lane_multiple: int = 8) -> "PaddedCSR":
+        import scipy.sparse as sp
+
+        return cls.from_scipy(sp.csr_matrix(np.asarray(x)), dtype=dtype, lane_multiple=lane_multiple)
+
+    @classmethod
+    def from_scipy(cls, x, dtype=jnp.float32, lane_multiple: int = 8) -> "PaddedCSR":
+        """Build from a scipy CSR/CSC/COO matrix (host-side)."""
+        x = x.tocsr()
+        n, p = x.shape
+        nnz = np.diff(x.indptr).astype(np.int32)
+        L = max(int(nnz.max()) if n else 0, 1)
+        L = _round_up(L, lane_multiple)
+        indices = np.zeros((n, L), dtype=np.int32)
+        values = np.zeros((n, L), dtype=np.float64)
+        rows = np.repeat(np.arange(n), nnz)
+        pos = np.arange(len(x.data)) - np.repeat(x.indptr[:-1], nnz)
+        indices[rows, pos] = x.indices
+        values[rows, pos] = x.data
+        return cls(
+            indices=jnp.asarray(indices),
+            values=jnp.asarray(values, dtype=dtype),
+            nnz=jnp.asarray(nnz),
+            n_rows=n,
+            n_cols=p,
+        )
+
+    def total_nnz(self) -> int:
+        return int(np.asarray(self.nnz).sum())
+
+    def column_stats(self):
+        """Sparse-aware per-column (mean, population SD) counting implicit
+        zeros; zero-variance columns get SD 1.0 (reference src/math.h:89-112)."""
+        n, p = self.shape
+        flat_idx = self.indices.reshape(-1)
+        flat_val = self.values.reshape(-1).astype(jnp.float64)
+        sums = jnp.zeros((p,), dtype=jnp.float64).at[flat_idx].add(flat_val)
+        sq_sums = jnp.zeros((p,), dtype=jnp.float64).at[flat_idx].add(flat_val**2)
+        mean = sums / n
+        var = sq_sums / n - mean**2
+        var = jnp.maximum(var, 0.0)
+        sd = jnp.where(var == 0.0, 1.0, jnp.sqrt(var))
+        return mean, sd
+
+    def scale_columns(self, scale: jnp.ndarray) -> "PaddedCSR":
+        """In-place-style scale-only standardization: divide every nonzero by
+        its column's scale (reference src/utils.h:110-121).  Centering is NOT
+        applied; the solver carries the `center/scale` correction term."""
+        new_values = self.values / scale.astype(self.values.dtype)[self.indices]
+        return PaddedCSR(self.indices, new_values, self.nnz, self.n_rows, self.n_cols)
+
+    def pad_rows(self, n_total: int) -> "PaddedCSR":
+        """Append all-zero rows up to n_total (batching/sharding pad)."""
+        extra = n_total - self.n_rows
+        if extra <= 0:
+            return self
+        indices = jnp.concatenate([self.indices, jnp.zeros((extra, self.row_width), jnp.int32)])
+        values = jnp.concatenate([self.values, jnp.zeros((extra, self.row_width), self.values.dtype)])
+        nnz = jnp.concatenate([self.nnz, jnp.zeros((extra,), jnp.int32)])
+        return PaddedCSR(indices, values, nnz, n_total, self.n_cols)
+
+    def to_dense(self) -> jnp.ndarray:
+        """Densify (test/debug only)."""
+        n, p = self.shape
+        out = jnp.zeros((n, p), dtype=self.values.dtype)
+        rows = jnp.broadcast_to(jnp.arange(n)[:, None], self.indices.shape)
+        return out.at[rows, self.indices].add(self.values)
+
+    def max_squared_row_norm(self, center_scaled: jnp.ndarray | None = None):
+        """Max squared row L2 norm; with `center_scaled` given, norms of the
+        centered rows ||x_i - c||^2 without densifying
+        (reference src/utils.h:60-85)."""
+        row_sq = jnp.sum(self.values.astype(jnp.float64) ** 2, axis=1)
+        if center_scaled is None:
+            return jnp.max(row_sq)
+        c = center_scaled.astype(jnp.float64)
+        cross = jnp.sum(self.values.astype(jnp.float64) * c[self.indices], axis=1)
+        c_sq = jnp.sum(c**2)
+        return jnp.max(row_sq - 2.0 * cross + c_sq)
+
+    @partial(jax.jit, static_argnums=())
+    def matvec_T(self, v: jnp.ndarray) -> jnp.ndarray:
+        """x.T @ v for v of shape (n,) or (n, m): returns (p,) or (p, m)."""
+        flat_idx = self.indices.reshape(-1)
+        if v.ndim == 1:
+            contrib = (self.values * v[:, None]).reshape(-1)
+            return jnp.zeros((self.n_cols,), self.values.dtype).at[flat_idx].add(contrib)
+        m = v.shape[1]
+        contrib = (self.values[:, :, None] * v[:, None, :]).reshape(-1, m)
+        return jnp.zeros((self.n_cols, m), self.values.dtype).at[flat_idx].add(contrib)
+
+    def matmul_dense(self, w_t: jnp.ndarray) -> jnp.ndarray:
+        """x @ w_t for dense w_t (p, k): returns (n, k) via gather."""
+        gathered = w_t[self.indices]  # (n, L, k)
+        return jnp.einsum("nl,nlk->nk", self.values, gathered)

@@ -1,0 +1,312 @@
+"""GLM response families.
+
+TPU-native re-design of the reference's Family hierarchy
+(reference src/families.h:26-410).  Each family exposes *batched*,
+jit-safe loss/gradient kernels operating on (B, k) blocks of linear
+predictors — the per-sample scalar methods of the reference become
+vectorized VPU ops, and everything feeding the MXU stays matmul-shaped.
+
+Internal response encoding (host-side `encode`):
+    gaussian    y -> (n, 1) float
+    binomial    y -> (n, 1) float in {0, 1}   (reference R/sgdnet.R:306)
+    multinomial y -> (n, K) one-hot           (reference keeps integer codes;
+                                               one-hot keeps the gradient a
+                                               pure matmul/softmax kernel)
+    mgaussian   y -> (n, m) float
+
+All deviances follow the reference convention deviance = 2 * sum(loss)
+(reference src/utils.h:304-329).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from sgdnet_tpu.core.linalg import clamp, column_mean, column_sd, logsumexp
+from sgdnet_tpu.core.sparse import PaddedCSR
+
+
+def _xty(x, y: jnp.ndarray) -> jnp.ndarray:
+    """x.T @ y for dense or PaddedCSR x; returns (p, m)."""
+    if isinstance(x, PaddedCSR):
+        return x.matvec_T(y.astype(x.values.dtype)).astype(jnp.float64)
+    return x.T.astype(jnp.float64) @ y.astype(jnp.float64)
+
+
+def _wmean(y: jnp.ndarray, weights: jnp.ndarray | None) -> jnp.ndarray:
+    if weights is None:
+        return jnp.mean(y, axis=0)
+    w = weights.reshape(-1, 1)
+    return jnp.sum(y * w, axis=0) / jnp.sum(w)
+
+
+class Family:
+    """Base family protocol (reference src/families.h:26-62)."""
+
+    name: str = "base"
+    L_scaling: float = 1.0
+    #: True when the response is a classification one-hot/indicator
+    is_classification: bool = False
+
+    def __init__(self, n_classes: int = 1):
+        self.n_classes = n_classes
+
+    # Families are passed to jit as static arguments; identity is defined by
+    # (type, n_classes, options) so retraces only happen when those change.
+    def __hash__(self):
+        return hash((type(self).__name__, self.n_classes, getattr(self, "standardize_response", False)))
+
+    def __eq__(self, other):
+        return (
+            type(self) is type(other)
+            and self.n_classes == other.n_classes
+            and getattr(self, "standardize_response", False) == getattr(other, "standardize_response", False)
+        )
+
+    # ----- host-side -----
+    def encode(self, y_raw):
+        """Validate + encode raw response -> (y (n, ky) float64, class_names)."""
+        raise NotImplementedError
+
+    # ----- device-side (jit-safe) -----
+    def preprocess(self, y: jnp.ndarray):
+        """Response standardization; returns (y_t, y_center (k,), y_scale (k,))."""
+        k = self.n_classes
+        return y, jnp.zeros((k,), jnp.float64), jnp.ones((k,), jnp.float64)
+
+    def loss(self, lp: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Per-sample loss; lp (B, k), y (B, ky) -> (B,)."""
+        raise NotImplementedError
+
+    def gradient(self, lp: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Per-sample gradient dloss/dlp; (B, k)."""
+        raise NotImplementedError
+
+    def null_intercept(self, y: jnp.ndarray, fit_intercept: bool, weights=None) -> jnp.ndarray:
+        """Intercept of the null (intercept-only) model; (k,)."""
+        raise NotImplementedError
+
+    def null_deviance(self, y: jnp.ndarray, fit_intercept: bool, weights=None) -> jnp.ndarray:
+        """2 * sum(loss) under the null model."""
+        lp0 = jnp.broadcast_to(self.null_intercept(y, fit_intercept, weights), (y.shape[0], self.n_classes))
+        losses = self.loss(lp0, y)
+        if weights is not None:
+            losses = losses * weights
+        return 2.0 * jnp.sum(losses)
+
+    def lambda_max(self, x, y: jnp.ndarray, y_scale: jnp.ndarray) -> jnp.ndarray:
+        """Largest lambda on the auto path (family-specific)."""
+        raise NotImplementedError
+
+
+class Gaussian(Family):
+    """Least-squares (reference src/families.h:64-127).  L = 1.0."""
+
+    name = "gaussian"
+    L_scaling = 1.0
+
+    def __init__(self, n_classes: int = 1):
+        super().__init__(1)
+
+    def encode(self, y_raw):
+        y = np.asarray(y_raw, dtype=np.float64)
+        if y.ndim == 1:
+            y = y.reshape(-1, 1)
+        if y.shape[1] != 1:
+            raise ValueError("response for Gaussian regression must be one-dimensional.")
+        return y, None
+
+    def preprocess(self, y):
+        center = column_mean(y)
+        scale = column_sd(y, center)
+        return (y - center) / scale, center, scale
+
+    def loss(self, lp, y):
+        r = lp[:, 0] - y[:, 0]
+        return 0.5 * r * r
+
+    def gradient(self, lp, y):
+        return lp - y
+
+    def null_intercept(self, y, fit_intercept, weights=None):
+        return _wmean(y, weights)
+
+    def lambda_max(self, x, y, y_scale):
+        # y here is the standardized response (reference src/families.h:119-126)
+        n = y.shape[0]
+        return y_scale[0] * jnp.max(jnp.abs(_xty(x, y))) / n
+
+
+class Binomial(Family):
+    """Logistic regression, responses in {0, 1}
+    (reference src/families.h:129-221).  L = 0.25."""
+
+    name = "binomial"
+    L_scaling = 0.25
+    is_classification = True
+    #: clamp for the logit link (reference src/families.h:142-150)
+    P_MIN = 1e-9
+
+    def __init__(self, n_classes: int = 1):
+        super().__init__(1)
+
+    def encode(self, y_raw):
+        y = np.asarray(y_raw)
+        if y.ndim == 2 and y.shape[1] == 1:
+            y = y[:, 0]
+        classes, codes = np.unique(y, return_inverse=True)
+        if len(classes) > 2:
+            raise ValueError("more than two classes in response. Are you looking for family = 'multinomial'?")
+        if len(classes) == 1:
+            raise ValueError("only one class in response.")
+        counts = np.bincount(codes)
+        if counts.min() <= 1:
+            raise ValueError(f"one class only has {counts.min()} observations.")
+        return codes.astype(np.float64).reshape(-1, 1), [str(c) for c in classes]
+
+    def link(self, p):
+        z = clamp(p, self.P_MIN, 1.0 - self.P_MIN)
+        return jnp.log(z / (1.0 - z))
+
+    def loss(self, lp, y):
+        z = lp[:, 0]
+        # log(1 + exp(z)) - y*z, stable via logaddexp
+        return jnp.logaddexp(0.0, z) - y[:, 0] * z
+
+    def gradient(self, lp, y):
+        return 1.0 / (1.0 + jnp.exp(-lp)) - y
+
+    def null_intercept(self, y, fit_intercept, weights=None):
+        if not fit_intercept:
+            return jnp.zeros((1,), y.dtype)
+        return self.link(_wmean(y, weights))
+
+    def lambda_max(self, x, y, y_scale):
+        # standardize the 0/1 response, then y_std * max|x^T y_map| / n
+        # (reference src/families.h:203-220)
+        n = y.shape[0]
+        y_bar = column_mean(y)
+        y_std = column_sd(y, y_bar)
+        y_map = (y - y_bar) / y_std
+        return y_std[0] * jnp.max(jnp.abs(_xty(x, y_map))) / n
+
+
+class Multinomial(Family):
+    """Softmax regression over K classes, one-hot response
+    (reference src/families.h:223-329).  L = 0.25."""
+
+    name = "multinomial"
+    L_scaling = 0.25
+    is_classification = True
+
+    def encode(self, y_raw):
+        y = np.asarray(y_raw)
+        if y.ndim == 2 and y.shape[1] == 1:
+            y = y[:, 0]
+        classes, codes = np.unique(y, return_inverse=True)
+        k = len(classes)
+        if k == 2:
+            raise ValueError("only two classes in response. Are you looking for family = 'binomial'?")
+        if k == 1:
+            raise ValueError("only one class in response.")
+        counts = np.bincount(codes)
+        if counts.min() <= 1:
+            raise ValueError(f"one class only has {counts.min()} observations.")
+        if self.n_classes not in (1, k):
+            raise ValueError(f"expected {self.n_classes} classes, found {k}")
+        self.n_classes = k
+        onehot = np.eye(k, dtype=np.float64)[codes]
+        return onehot, [str(c) for c in classes]
+
+    def loss(self, lp, y):
+        return logsumexp(lp, axis=1) - jnp.sum(lp * y, axis=1)
+
+    def gradient(self, lp, y):
+        return jnp.exp(lp - logsumexp(lp, axis=1, keepdims=True)) - y
+
+    def null_intercept(self, y, fit_intercept, weights=None):
+        if fit_intercept:
+            prop = _wmean(y, weights)
+        else:
+            prop = jnp.full((self.n_classes,), 1.0 / self.n_classes, dtype=y.dtype)
+        log_prop = jnp.log(prop)
+        return log_prop - jnp.mean(log_prop)
+
+    def lambda_max(self, x, y, y_scale):
+        # one-hot indicator standardized per class; per-class inner products
+        # rescaled by that class's SD (reference src/families.h:300-325)
+        n = y.shape[0]
+        y_bar = column_mean(y)
+        y_std = column_sd(y, y_bar)
+        y_map = (y - y_bar) / y_std
+        inner = _xty(x, y_map) * y_std
+        return jnp.max(jnp.abs(inner)) / n
+
+
+class MultivariateGaussian(Family):
+    """Multi-response least squares (reference src/families.h:331-410).  L = 1.0."""
+
+    name = "mgaussian"
+    L_scaling = 1.0
+
+    def __init__(self, n_classes: int = 1, standardize_response: bool = False):
+        super().__init__(n_classes)
+        self.standardize_response = standardize_response
+
+    def encode(self, y_raw):
+        y = np.asarray(y_raw, dtype=np.float64)
+        if y.ndim != 2 or y.shape[1] == 1:
+            raise ValueError(
+                "response for multivariate Gaussian regression must not be "
+                "one-dimensional; try family = 'gaussian'."
+            )
+        self.n_classes = y.shape[1]
+        return y, None
+
+    def preprocess(self, y):
+        # glmnet-style: standardizes y but reports coefficients on the
+        # standardized-y scale (y_center/y_scale stay 0/1 — reference
+        # src/families.h:337-348 deliberately never fills them in)
+        k = self.n_classes
+        if self.standardize_response:
+            center = column_mean(y)
+            scale = column_sd(y, center)
+            y = (y - center) / scale
+        return y, jnp.zeros((k,), jnp.float64), jnp.ones((k,), jnp.float64)
+
+    def loss(self, lp, y):
+        return 0.5 * jnp.sum((lp - y) ** 2, axis=1)
+
+    def gradient(self, lp, y):
+        return lp - y
+
+    def null_intercept(self, y, fit_intercept, weights=None):
+        return _wmean(y, weights)
+
+    def lambda_max(self, x, y, y_scale):
+        # per-class standardized inner products, rescaled, then the max
+        # per-feature L2 norm over classes (reference src/families.h:387-406)
+        n = y.shape[0]
+        y_bar = column_mean(y)
+        y_std = column_sd(y, y_bar)
+        y_map = (y - y_bar) / y_std
+        inner = _xty(x, y_map) * (y_scale * y_std)
+        return jnp.max(jnp.sqrt(jnp.sum(inner**2, axis=1))) / n
+
+
+_FAMILIES = {
+    "gaussian": Gaussian,
+    "binomial": Binomial,
+    "multinomial": Multinomial,
+    "mgaussian": MultivariateGaussian,
+}
+
+
+def get_family(name: str, n_classes: int = 1, standardize_response: bool = False) -> Family:
+    """Family factory (reference src/sgdnet.cpp:298-335)."""
+    if name not in _FAMILIES:
+        raise ValueError(f"unknown family '{name}'; choose from {sorted(_FAMILIES)}")
+    if name == "mgaussian":
+        return MultivariateGaussian(n_classes, standardize_response)
+    return _FAMILIES[name](n_classes)

@@ -1,0 +1,331 @@
+"""Batched SAGA engine for TPU.
+
+TPU-native re-design of the reference's sequential SAGA inner loops
+(reference src/saga-dense.h:100-224 and src/saga-sparse.h:195-383).
+
+Design notes — why this is not a translation
+--------------------------------------------
+The reference performs n strictly sequential single-sample updates per
+epoch, with two CPU-oriented optimizations: a lazy L2 scale (`wscale`) so
+the O(p) decay is deferred, and lag tables with closed-form geometric
+catch-up so untouched features skip their prox steps
+(reference src/saga-sparse.h:76-155, 229-240).  Both exist because touching
+all p features per sample is expensive on a scalar CPU.
+
+On TPU the economics invert: a dense (k, p) elementwise decay + prox costs
+almost nothing next to the matmuls, while serialized per-sample updates
+waste the MXU entirely.  So the engine here does *minibatch SAGA*: each
+step takes B samples, computes their linear predictors and the rank-B
+coefficient update as two MXU matmuls, and applies the L2 decay and prox
+densely once per step.  No wscale, no lag tables — their closed-form
+algebra is exactly what the dense decay computes directly.
+
+Fixed-point equivalence: a batched step is
+    w <- prox_{gamma*l1}( w (1 - gamma*l2) - gamma * ((1/B) sum_b (g_b - m_b) x_b + g_sum) )
+At a fixed point the memory equals the current per-sample gradients, so
+the correction term vanishes in expectation and the fixed-point equation
+    w* = prox_{gamma*l1}( w* (1 - gamma*l2) - gamma * grad f(w*) )
+is the optimality condition of the elastic-net GLM objective — for every
+B, including the reference's B = 1.  Batch size therefore changes the
+trajectory (and epochs-to-converge; see stepsize.py) but not the solution,
+which is what the reference's own tests assert (coefficients at 1e-3).
+
+Sampling uses per-epoch random permutations (`jax.random`) instead of the
+reference's with-replacement draws (reference src/saga-dense.h:152, R's
+RNG): no duplicate index ever lands in one batch, which keeps the
+`g_mem` scatter and the g_sum invariant exact.
+
+Sparse matrices are handled in padded-CSR form with two strategies:
+  * 'densify' — scatter the B rows into a dense (B, p) block, then the
+    dense MXU path (best for moderate p);
+  * 'gather'  — gather w columns for the forward pass and scatter-add the
+    rank-B update (best for very large p).
+Standardized sparse data stays scale-only, with centering carried as the
+rank-1 `x_center_scaled` correction term, exactly like the reference
+(reference src/utils.h:110-121, src/saga-sparse.h:274-277) — the design
+matrix is never densified globally.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sgdnet_tpu.core.sparse import PaddedCSR
+from sgdnet_tpu.families.families import Family
+from sgdnet_tpu.penalties.penalties import Penalty
+
+
+class SagaState(NamedTuple):
+    """Warm-started solver state carried across the lambda path
+    (reference src/sgdnet.cpp:187-198)."""
+
+    w: jnp.ndarray  # (k, p) coefficients
+    intercept: jnp.ndarray  # (k,)
+    g_mem: jnp.ndarray  # (n_pad, k) per-sample gradient memory
+    g_sum: jnp.ndarray  # (k, p) gradient average
+    g_sum_intercept: jnp.ndarray  # (k,)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Static solver configuration (hashable; passed to jit as static)."""
+
+    batch_size: int = 32
+    max_iter: int = 1000
+    fit_intercept: bool = True
+    #: lower learning rate for the intercept on sparse data to avoid
+    #: oscillation (reference src/saga-sparse.h:300-304 uses 0.01)
+    intercept_decay: float = 1.0
+    #: recompute g_sum exactly from g_mem at each epoch end (one matmul) —
+    #: kills float32 accumulation drift in the gradient average
+    g_sum_refresh: bool = True
+    #: 'densify' or 'gather' (sparse x only; ignored for dense)
+    sparse_mode: str = "densify"
+    #: record the epoch loss trace (reference debug option, R/zzz.R:17)
+    debug: bool = False
+
+
+def init_state(n_pad: int, n_features: int, n_classes: int, dtype) -> SagaState:
+    return SagaState(
+        w=jnp.zeros((n_classes, n_features), dtype),
+        intercept=jnp.zeros((n_classes,), dtype),
+        g_mem=jnp.zeros((n_pad, n_classes), dtype),
+        g_sum=jnp.zeros((n_classes, n_features), dtype),
+        g_sum_intercept=jnp.zeros((n_classes,), dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# batched linear algebra on the design matrix
+# ---------------------------------------------------------------------------
+
+
+def _batch_predict(x, xc, w, idx):
+    """Linear predictors for the rows in `idx`: (B, k).  Handles the sparse
+    centering correction lp -= w @ c (reference src/saga-sparse.h:274-277)."""
+    if isinstance(x, PaddedCSR):
+        ib = x.indices[idx]  # (B, L)
+        vb = x.values[idx]  # (B, L)
+        wt = w.T  # (p, k)
+        lp = jnp.einsum("bl,blk->bk", vb, wt[ib], preferred_element_type=w.dtype)
+    else:
+        xb = x[idx]
+        lp = jnp.dot(xb, w.T, preferred_element_type=w.dtype)
+    if xc is not None:
+        lp = lp - jnp.dot(w, xc.astype(w.dtype))
+    return lp
+
+
+def _batch_outer(x, xc, g_change, idx, sparse_mode: str):
+    """corr[k, j] = sum_b g_change[b, k] * x_eff[b, j], where x_eff is the
+    (centered, scaled) row — the rank-B coefficient update."""
+    if isinstance(x, PaddedCSR):
+        ib = x.indices[idx]
+        vb = x.values[idx]
+        if sparse_mode == "densify":
+            B = idx.shape[0]
+            rows = jnp.broadcast_to(jnp.arange(B)[:, None], ib.shape)
+            xb = jnp.zeros((B, x.n_cols), vb.dtype).at[rows, ib].add(vb)
+            corr = jnp.dot(g_change.T, xb, preferred_element_type=g_change.dtype)
+        else:  # gather/scatter
+            contrib = vb[:, :, None] * g_change[:, None, :]  # (B, L, k)
+            k = g_change.shape[1]
+            corr_t = (
+                jnp.zeros((x.n_cols, k), g_change.dtype)
+                .at[ib.reshape(-1)]
+                .add(contrib.reshape(-1, k))
+            )
+            corr = corr_t.T
+    else:
+        xb = x[idx]
+        corr = jnp.dot(g_change.T, xb, preferred_element_type=g_change.dtype)
+    if xc is not None:
+        corr = corr - jnp.outer(jnp.sum(g_change, axis=0), xc.astype(corr.dtype))
+    return corr
+
+
+def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, block: int = 1024):
+    """Weighted total loss over the dataset, computed in row blocks
+    (reference src/utils.h:199-227 EpochLoss / :304-329 Deviance)."""
+    n_pad = y.shape[0]
+    block = min(block, n_pad)
+    while n_pad % block != 0:
+        block //= 2
+        block = max(block, 1)
+    n_blocks = n_pad // block
+
+    def body(carry, i):
+        idx = i * block + jnp.arange(block)
+        lp = _batch_predict(x, xc, w, idx) + intercept
+        losses = family.loss(lp, y[idx]) * weights[idx]
+        return carry + jnp.sum(losses), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), w.dtype), jnp.arange(n_blocks))
+    return total
+
+
+# ---------------------------------------------------------------------------
+# one batched SAGA step / epoch
+# ---------------------------------------------------------------------------
+
+
+def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, config: SolverConfig):
+    B = config.batch_size
+
+    def step(state: SagaState, carry_scalars, idx):
+        gamma, l1, l2 = carry_scalars
+        yb = y[idx]
+        wb = weights[idx]
+
+        lp = _batch_predict(x, xc, state.w, idx) + state.intercept
+        g = family.gradient(lp, yb) * wb[:, None]  # weighted; pad rows -> 0
+        g_change = g - state.g_mem[idx]  # (B, k)
+        g_mem = state.g_mem.at[idx].set(g)
+
+        bw = jnp.maximum(jnp.sum(wb), 1e-12)
+        sum_gc = jnp.sum(g_change, axis=0)  # (k,)
+
+        corr = _batch_outer(x, xc, g_change, idx, config.sparse_mode)  # (k, p)
+        grad_est = corr / bw + state.g_sum
+        w_half = state.w * (1.0 - gamma * l2) - gamma * grad_est
+        w_new = penalty.prox(w_half, gamma * l1)
+        g_sum = state.g_sum + corr / w_total
+
+        if config.fit_intercept:
+            # reference-style averaged-gradient intercept step
+            # (reference src/saga-dense.h:170-173); a larger "boosted" step
+            # is unstable because g_sum_intercept is up to an epoch stale
+            delta = sum_gc / w_total
+            g_sum_i = state.g_sum_intercept + delta
+            intercept = state.intercept - gamma * (config.intercept_decay * g_sum_i + delta)
+        else:
+            g_sum_i = state.g_sum_intercept
+            intercept = state.intercept
+
+        return SagaState(w_new, intercept, g_mem, g_sum, g_sum_i)
+
+    return step
+
+
+def _refresh_g_sum(x, xc, weights, w_total, state: SagaState) -> SagaState:
+    """Exact recompute g_sum = (1/W) X_eff^T g_mem — one matmul that resets
+    float32 accumulation drift in the running gradient average."""
+    if isinstance(x, PaddedCSR):
+        g_sum_t = x.matvec_T(state.g_mem)  # (p, k)
+        g_sum = g_sum_t.T / w_total
+    else:
+        g_sum = jnp.dot(state.g_mem.T, x, preferred_element_type=x.dtype) / w_total
+    col_sum = jnp.sum(state.g_mem, axis=0)  # (k,)
+    if xc is not None:
+        g_sum = g_sum - jnp.outer(col_sum, xc.astype(g_sum.dtype)) / w_total
+    return state._replace(g_sum=g_sum, g_sum_intercept=col_sum / w_total)
+
+
+def _make_epoch(x, y, weights, xc, w_total, family, penalty, config: SolverConfig):
+    n_pad = y.shape[0]
+    B = config.batch_size
+    assert n_pad % B == 0, "n_pad must be a multiple of batch_size"
+    n_batches = n_pad // B
+    step = _make_step(x, y, weights, xc, w_total, family, penalty, config)
+
+    def epoch(state: SagaState, key, gamma, l1, l2):
+        perm = jax.random.permutation(key, n_pad).reshape(n_batches, B)
+
+        def body(state, idx):
+            return step(state, (gamma, l1, l2), idx), None
+
+        state, _ = jax.lax.scan(body, state, perm)
+        if config.g_sum_refresh:
+            state = _refresh_g_sum(x, xc, weights, w_total, state)
+        return state
+
+    return epoch
+
+
+# ---------------------------------------------------------------------------
+# path driver: warm-started scan over the lambda sequence
+# ---------------------------------------------------------------------------
+
+
+class PathResults(NamedTuple):
+    w: jnp.ndarray  # (n_lambda, k, p)   on the standardized scale
+    intercept: jnp.ndarray  # (n_lambda, k)
+    deviance: jnp.ndarray  # (n_lambda,)
+    n_epochs: jnp.ndarray  # (n_lambda,) int32
+    return_codes: jnp.ndarray  # (n_lambda,) int32: 0 converged, 1 hit max_iter
+    losses: jnp.ndarray  # (n_lambda, max_iter) epoch losses (debug; else (n_lambda, 0))
+
+
+@partial(jax.jit, static_argnames=("family", "penalty", "config"))
+def fit_path(
+    x,
+    y,
+    weights,
+    xc,
+    gammas,
+    l1s,
+    l2s,
+    tol,
+    key,
+    state0: SagaState,
+    family: Family,
+    penalty: Penalty,
+    config: SolverConfig,
+) -> tuple[SagaState, jnp.ndarray, PathResults]:
+    """Fit the whole lambda path in one compiled computation.
+
+    Mirrors the reference's path loop with warm starts
+    (reference src/sgdnet.cpp:217-273): state (w, intercept, g_mem, g_sum)
+    carries from one lambda to the next; each lambda runs epochs under a
+    while_loop until the relative-change convergence criterion
+    max|dw| / max|w| <= tol (reference src/utils.h:240-262) or max_iter.
+    """
+    w_total = jnp.maximum(jnp.sum(weights), 1e-12)
+    epoch_fn = _make_epoch(x, y, weights, xc, w_total, family, penalty, config)
+    max_iter = config.max_iter
+
+    def fit_one(state: SagaState, gamma, l1, l2, lam_key):
+        losses0 = jnp.full((max_iter if config.debug else 0,), jnp.nan, dtype=state.w.dtype)
+
+        def cond(carry):
+            _, _, it, done, _ = carry
+            return jnp.logical_not(done) & (it < max_iter)
+
+        def body(carry):
+            state, w_prev, it, _, losses = carry
+            ekey = jax.random.fold_in(lam_key, it)
+            state = epoch_fn(state, ekey, gamma, l1, l2)
+            max_change = jnp.max(jnp.abs(state.w - w_prev))
+            max_size = jnp.max(jnp.abs(state.w))
+            all_zero = (max_size == 0.0) & (max_change == 0.0)
+            no_change = (max_size != 0.0) & (max_change <= tol * max_size)
+            done = all_zero | no_change
+            if config.debug:
+                loss = _dataset_loss(x, y, weights, xc, state.w, state.intercept, family) / w_total
+                losses = losses.at[it].set(loss)
+            return (state, state.w, it + 1, done, losses)
+
+        init = (state, state.w, jnp.int32(0), jnp.asarray(False), losses0)
+        state, _, it, _, losses = jax.lax.while_loop(cond, body, init)
+        return state, it, losses
+
+    def scan_body(carry, xs):
+        state, n_iter = carry
+        gamma, l1, l2, i = xs
+        lam_key = jax.random.fold_in(key, i)
+        state, it, losses = fit_one(state, gamma, l1, l2, lam_key)
+        dev = 2.0 * _dataset_loss(x, y, weights, xc, state.w, state.intercept, family)
+        out = (state.w, state.intercept, dev, it, jnp.where(it >= max_iter, 1, 0).astype(jnp.int32), losses)
+        return (state, n_iter + it), out
+
+    n_lambda = gammas.shape[0]
+    (state, n_iter), outs = jax.lax.scan(
+        scan_body, (state0, jnp.int32(0)), (gammas, l1s, l2s, jnp.arange(n_lambda))
+    )
+    results = PathResults(*outs)
+    return state, n_iter, results
