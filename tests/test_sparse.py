@@ -1,0 +1,94 @@
+"""Sparse-vs-dense equivalence (reference tests/testthat/test-sparse.R) and
+PaddedCSR container semantics."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import sgdnet_tpu as st
+from sgdnet_tpu.core.sparse import PaddedCSR
+from tests.helpers import random_data
+
+
+def test_padded_csr_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(37, 11)) * (rng.random((37, 11)) < 0.3)
+    csr = PaddedCSR.from_scipy(sp.csr_matrix(x), dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(csr.to_dense()), x)
+    assert csr.total_nnz() == np.count_nonzero(x)
+
+
+def test_padded_csr_column_stats():
+    """Sparse column stats count implicit zeros and guard zero variance
+    (reference src/math.h:89-112)."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(50, 7)) * (rng.random((50, 7)) < 0.4)
+    x[:, 3] = 0.0  # zero-variance column
+    csr = PaddedCSR.from_scipy(sp.csr_matrix(x), dtype=np.float64)
+    mean, sd = csr.column_stats()
+    np.testing.assert_allclose(np.asarray(mean), x.mean(0), atol=1e-12)
+    expected_sd = x.std(0)
+    expected_sd[expected_sd == 0] = 1.0
+    np.testing.assert_allclose(np.asarray(sd), expected_sd, atol=1e-12)
+
+
+def test_padded_csr_matvec():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(30, 9)) * (rng.random((30, 9)) < 0.5)
+    csr = PaddedCSR.from_scipy(sp.csr_matrix(x), dtype=np.float64)
+    v = rng.normal(size=(30, 2))
+    np.testing.assert_allclose(np.asarray(csr.matvec_T(v)), x.T @ v, atol=1e-12)
+    w_t = rng.normal(size=(9, 2))
+    np.testing.assert_allclose(np.asarray(csr.matmul_dense(w_t)), x @ w_t, atol=1e-12)
+
+
+def test_max_squared_row_norm_centered():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(20, 6)) * (rng.random((20, 6)) < 0.5)
+    c = rng.normal(size=6)
+    csr = PaddedCSR.from_scipy(sp.csr_matrix(x), dtype=np.float64)
+    expected = ((x - c) ** 2).sum(axis=1).max()
+    got = float(csr.max_squared_row_norm(np.asarray(c)))
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+
+@pytest.mark.parametrize("family", ["gaussian", "binomial"])
+@pytest.mark.parametrize("standardize", [True, False])
+def test_sparse_equals_dense(family, standardize):
+    """Sparse and dense fits agree at 1e-3 over the option grid
+    (reference test-sparse.R:3-35)."""
+    x, y = random_data(n=250, p=10, family=family, density=0.3, seed=7)
+    common = dict(
+        family=family,
+        nlambda=10,
+        standardize=standardize,
+        thresh=1e-6,
+        maxit=3000,
+        dtype=np.float64,
+    )
+    dense_fit = st.fit(x, y, **common)
+    sparse_fit = st.fit(sp.csr_matrix(x), y, lambda_path=dense_fit.lambda_, **common)
+    np.testing.assert_allclose(sparse_fit.lambda_, dense_fit.lambda_, rtol=1e-10)
+    scale = max(1.0, np.abs(dense_fit.beta).max())
+    np.testing.assert_allclose(sparse_fit.beta, dense_fit.beta, atol=2e-3 * scale)
+    np.testing.assert_allclose(sparse_fit.a0, dense_fit.a0, atol=5e-3 * scale)
+
+
+def test_sparse_gather_mode_equals_densify():
+    """The two sparse batch strategies are numerically equivalent."""
+    x, y = random_data(n=200, p=12, family="gaussian", density=0.25, seed=8)
+    xs = sp.csr_matrix(x)
+    common = dict(nlambda=8, thresh=1e-6, maxit=2000, dtype=np.float64)
+    f1 = st.fit(xs, y, sparse_mode="densify", **common)
+    f2 = st.fit(xs, y, sparse_mode="gather", **common)
+    np.testing.assert_allclose(f1.beta, f2.beta, atol=1e-10)
+
+
+def test_sparse_lambda_path_matches_dense():
+    """Auto lambda path identical for sparse and dense input
+    (scale-only standardization does not change lambda_max because the
+    response is centered — see families._xty usage)."""
+    x, y = random_data(n=150, p=8, family="gaussian", density=0.4, seed=9)
+    f_dense = st.fit(x, y, nlambda=5, dtype=np.float64)
+    f_sparse = st.fit(sp.csr_matrix(x), y, nlambda=5, dtype=np.float64)
+    np.testing.assert_allclose(f_sparse.lambda_, f_dense.lambda_, rtol=1e-8)
