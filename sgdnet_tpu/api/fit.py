@@ -349,6 +349,10 @@ def fit(
     y_center_np = np.asarray(y_center)
 
     beta = w_path * y_scale_np[None, :, None] / x_scale_np[None, None, :]
+    # snap numerical residue to exact zero so sparsity patterns (df, nonzero)
+    # match the reference's exact-prox zeros
+    tiny = 10 * np.finfo(np.asarray(results.w).dtype).eps * max(1.0, np.abs(beta).max())
+    beta[np.abs(beta) < tiny] = 0.0
     a0 = b_path * y_scale_np[None, :]
     if intercept:
         a0 = a0 + y_center_np[None, :] - np.einsum("j,lkj->lk", x_center_np, beta)
