@@ -1,0 +1,126 @@
+"""Benchmark: sparse-CSR binomial SAGA epoch throughput (nnz/s per chip).
+
+The north-star metric from BASELINE.md: nonzeros processed per second in
+SAGA epochs on an rcv1-scale synthetic sparse binomial workload.  The
+reference publishes no absolute numbers (BASELINE.md — relative curves
+only, single-threaded C++ on an EC2 m4.large); `vs_baseline` is therefore
+measured against a 1e8 nnz/s estimate of a well-optimized single-core CPU
+SAGA inner loop (a few memory-bound FLOPs per nonzero at ~GHz rates).
+
+Prints ONE JSON line:
+  {"metric": "sparse_saga_nnz_per_s", "value": ..., "unit": "nnz/s", "vs_baseline": ...}
+Extra diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+CPU_BASELINE_NNZ_PER_S = 1e8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_sparse_binomial(n=100_000, p=47_000, nnz_per_row=76, seed=0, dtype=np.float32):
+    """rcv1-scale synthetic: fixed nnz per row, power-law-ish column usage."""
+    import jax.numpy as jnp
+
+    from sgdnet_tpu.core.sparse import PaddedCSR
+
+    rng = np.random.default_rng(seed)
+    # skewed column distribution (frequent features first), rcv1-like
+    cols = (p * rng.random((n, nnz_per_row)) ** 2.0).astype(np.int32) % p
+    vals = rng.normal(size=(n, nnz_per_row)).astype(dtype)
+    w_true = rng.normal(size=p) * (rng.random(p) < 0.05) * 3.0
+    lp = (vals * w_true[cols]).sum(axis=1)
+    y = (rng.random(n) < 1.0 / (1.0 + np.exp(-lp))).astype(dtype)
+
+    L = ((nnz_per_row + 7) // 8) * 8
+    indices = np.zeros((n, L), np.int32)
+    values = np.zeros((n, L), dtype)
+    indices[:, :nnz_per_row] = cols
+    values[:, :nnz_per_row] = vals
+    x = PaddedCSR(jnp.asarray(indices), jnp.asarray(values), jnp.full((n,), nnz_per_row, jnp.int32), n, p)
+    return x, y.reshape(-1, 1)
+
+
+def bench_sparse_epoch(n=100_000, p=47_000, nnz_per_row=76, batch_size=1024, epochs=5, sparse_mode="gather"):
+    import jax
+    import jax.numpy as jnp
+
+    from sgdnet_tpu.families import get_family
+    from sgdnet_tpu.penalties import select_penalty
+    from sgdnet_tpu.solver.saga import SolverConfig, _make_epoch, init_state
+
+    x, y = make_sparse_binomial(n, p, nnz_per_row)
+    n_pad = ((n + batch_size - 1) // batch_size) * batch_size
+    x = x.pad_rows(n_pad)
+    y = jnp.concatenate([jnp.asarray(y), jnp.zeros((n_pad - n, 1), jnp.float32)])
+    weights = jnp.concatenate([jnp.ones((n,), jnp.float32), jnp.zeros((n_pad - n,), jnp.float32)])
+
+    family = get_family("binomial")
+    penalty = select_penalty(1.0, "binomial")
+    config = SolverConfig(batch_size=batch_size, fit_intercept=True, sparse_mode=sparse_mode, intercept_decay=0.01)
+    state = init_state(n_pad, p, 1, jnp.float32)
+    epoch = _make_epoch(x, y, weights, None, jnp.float32(n), family, penalty, config)
+
+    lam = 1.0 / n  # the reference benchmark protocol's lambda (BASELINE.md)
+    gamma, l1, l2 = jnp.float32(3e-3), jnp.float32(lam), jnp.float32(0.0)
+
+    @jax.jit
+    def run_epochs(state, key):
+        def body(state, i):
+            return epoch(state, jax.random.fold_in(key, i), gamma, l1, l2), None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(epochs))
+        return state
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    state = jax.block_until_ready(run_epochs(state, key))
+    compile_and_first = time.perf_counter() - t0
+    log(f"compile+first run: {compile_and_first:.2f}s")
+
+    t0 = time.perf_counter()
+    state = jax.block_until_ready(run_epochs(state, jax.random.fold_in(key, 1)))
+    elapsed = time.perf_counter() - t0
+
+    total_nnz = n * nnz_per_row * epochs
+    nnz_per_s = total_nnz / elapsed
+    log(
+        f"sparse epoch bench: n={n} p={p} nnz/row={nnz_per_row} B={batch_size} "
+        f"mode={sparse_mode}: {epochs} epochs in {elapsed:.3f}s -> {nnz_per_s:.3e} nnz/s"
+    )
+    return nnz_per_s
+
+
+def main():
+    import jax
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    best = 0.0
+    # modest sweep over batch size / strategy; report the best steady-state
+    for mode, bs in (("gather", 1024), ("gather", 4096)):
+        try:
+            v = bench_sparse_epoch(batch_size=bs, sparse_mode=mode)
+            best = max(best, v)
+        except Exception as e:  # noqa: BLE001
+            log(f"config mode={mode} bs={bs} failed: {e}")
+    print(
+        json.dumps(
+            {
+                "metric": "sparse_saga_nnz_per_s",
+                "value": best,
+                "unit": "nnz/s",
+                "vs_baseline": best / CPU_BASELINE_NNZ_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

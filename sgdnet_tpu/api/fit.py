@@ -153,6 +153,7 @@ def fit(
     intercept_decay: float | None = None,
     sparse_mode: str | None = None,
     feature_names=None,
+    mesh=None,
 ) -> SgdnetFit:
     """Fit an elastic-net regularized GLM path with batched SAGA.
 
@@ -163,6 +164,12 @@ def fit(
     documented-but-unimplemented there, R/sgdnet.R:341), grouped multinomial
     (unreachable from the reference R layer, R/sgdnet.R:265-272),
     `batch_size`, dtype and PRNG seed control.
+
+    With `mesh` (a 1-D `jax.sharding.Mesh` over a 'data' axis) the fit runs
+    data-parallel: rows and gradient memory sharded across devices,
+    coefficients replicated, one psum per step (see parallel/dist.py).
+    `batch_size` is then the per-device batch; the global batch is
+    batch_size * n_devices.
     """
     # ---- validation (reference R/sgdnet.R:211-263) ----
     if family not in FAMILIES:
@@ -282,8 +289,13 @@ def fit(
         max_sq, top_sq, jnp.asarray(l2s), w_total, batch_size, intercept, fam.L_scaling
     )
 
-    # ---- pad rows to a multiple of batch_size ----
-    n_pad = ((n_samples + batch_size - 1) // batch_size) * batch_size
+    # ---- pad rows to a multiple of batch_size (x shards, if meshed) ----
+    if mesh is not None:
+        from sgdnet_tpu.parallel.dist import pad_to_shards
+
+        n_pad = pad_to_shards(n_samples, mesh.devices.size, batch_size)
+    else:
+        n_pad = ((n_samples + batch_size - 1) // batch_size) * batch_size
     if n_pad > n_samples:
         extra = n_pad - n_samples
         if is_sparse:
@@ -321,14 +333,11 @@ def fit(
         g_sum_refresh=True,
         sparse_mode=sparse_mode,
         debug=debug,
+        axis_name=None if mesh is None else "data",
     )
 
     key = jax.random.PRNGKey(seed)
-    state, n_iter, results = fit_path(
-        x,
-        y_proc,
-        weights,
-        xc,
+    path_args = (
         jnp.asarray(gammas, dtype),
         jnp.asarray(l1s, dtype),
         jnp.asarray(l2s, dtype),
@@ -339,6 +348,19 @@ def fit(
         penalty,
         config,
     )
+    if mesh is None:
+        state, n_iter, results = fit_path(x, y_proc, weights, xc, *path_args)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sgdnet_tpu.parallel.dist import fit_path_sharded, shard_inputs
+
+        x, y_proc, weights = shard_inputs(mesh, x, y_proc, weights)
+        state0 = state0._replace(
+            g_mem=jax.device_put(state0.g_mem, NamedSharding(mesh, P("data", None)))
+        )
+        path_args = path_args[:5] + (state0,) + path_args[6:]
+        state, n_iter, results = fit_path_sharded(x, y_proc, weights, xc, *path_args, mesh=mesh)
 
     # ---- rescale to original units (reference src/utils.h:352-378) ----
     w_path = np.asarray(results.w, dtype=np.float64)  # (nl, k, p)

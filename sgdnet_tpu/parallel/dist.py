@@ -1,0 +1,146 @@
+"""Data-parallel sharded SAGA over a device mesh.
+
+The reference is strictly single-threaded (SURVEY.md §2c: no threads, no
+MPI/NCCL, no device code anywhere in src/).  This module is the designed-new
+scale-out layer: the design matrix, response, sample weights, and per-sample
+gradient memory are **row-sharded** over a 1-D `Mesh(('data',))`, while the
+coefficients `w`, intercept, and gradient average `g_sum` are **replicated**.
+
+Each batched SAGA step is SPMD: every device draws a local minibatch from
+its own row shard, computes its local rank-B statistics, and a single
+`psum` per step (the (k, p) `corr` matrix plus two scalars/vectors) forms
+the global batch update — which every device then applies identically to
+its replicated copy of the state.  This is mathematically identical to a
+single-device minibatch SAGA with global batch B_local * n_devices drawn
+stratified-by-shard, so the fixed point (and the 1e-3 coefficient contract)
+is unchanged while throughput scales with the mesh.
+
+Collectives ride ICI via XLA's psum; there is no parameter server and no
+host round-trip inside the path: the entire lambda path (while-loop epochs
+included) runs as one shard_mapped computation per device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from sgdnet_tpu.core.sparse import PaddedCSR
+from sgdnet_tpu.solver.saga import PathResults, SagaState, SolverConfig, fit_path
+
+AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data mesh over the first n_devices devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def pad_to_shards(n: int, n_shards: int, batch_size: int) -> int:
+    """Rows per shard must be a multiple of batch_size; total rows a multiple
+    of shards * batch_size."""
+    per = n_shards * batch_size
+    return ((n + per - 1) // per) * per
+
+
+def shard_inputs(mesh: Mesh, x, y, weights):
+    """Place x/y/weights row-sharded on the mesh."""
+    row = NamedSharding(mesh, P(AXIS))
+    row2 = NamedSharding(mesh, P(AXIS, None))
+    y = jax.device_put(y, row2)
+    weights = jax.device_put(weights, row)
+    if isinstance(x, PaddedCSR):
+        x = PaddedCSR(
+            jax.device_put(x.indices, row2),
+            jax.device_put(x.values, row2),
+            jax.device_put(x.nnz, row),
+            x.n_rows,
+            x.n_cols,
+        )
+    else:
+        x = jax.device_put(x, row2)
+    return x, y, weights
+
+
+def _specs_for_x(x):
+    if isinstance(x, PaddedCSR):
+        return PaddedCSR(P(AXIS, None), P(AXIS, None), P(AXIS), x.n_rows, x.n_cols)
+    return P(AXIS, None)
+
+
+@partial(jax.jit, static_argnames=("family", "penalty", "config", "mesh"))
+def fit_path_sharded(
+    x,
+    y,
+    weights,
+    xc,
+    gammas,
+    l1s,
+    l2s,
+    tol,
+    key,
+    state0: SagaState,
+    family,
+    penalty,
+    config: SolverConfig,
+    mesh: Mesh,
+):
+    """shard_map-wrapped fit_path: one compiled SPMD program for the whole
+    warm-started lambda path."""
+    assert config.axis_name == AXIS
+    state_specs = SagaState(
+        w=P(None, None),
+        intercept=P(None),
+        g_mem=P(AXIS, None),
+        g_sum=P(None, None),
+        g_sum_intercept=P(None),
+    )
+    in_specs = (
+        _specs_for_x(x),
+        P(AXIS, None),  # y
+        P(AXIS),  # weights
+        P(None) if xc is not None else None,  # xc replicated
+        P(None),
+        P(None),
+        P(None),  # gammas/l1s/l2s
+        P(),  # tol
+        P(None),  # key
+        state_specs,
+    )
+    out_specs = (
+        state_specs,
+        P(),  # n_iter
+        PathResults(
+            w=P(None, None, None),
+            intercept=P(None, None),
+            deviance=P(None),
+            n_epochs=P(None),
+            return_codes=P(None),
+            losses=P(None, None),
+        ),
+    )
+
+    def local_fit(x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l):
+        if isinstance(x_l, PaddedCSR):
+            # shard_map hands back locally-shaped leaves; fix logical shape
+            x_l = PaddedCSR(x_l.indices, x_l.values, x_l.nnz, y_l.shape[0], x_l.n_cols)
+        return fit_path(x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l, family, penalty, config)
+
+    try:  # jax >= 0.8 uses check_vma; older versions check_rep
+        fn = shard_map(local_fit, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    except TypeError:
+        fn = shard_map(local_fit, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+    return fn(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0)

@@ -88,6 +88,16 @@ class SolverConfig:
     sparse_mode: str = "densify"
     #: record the epoch loss trace (reference debug option, R/zzz.R:17)
     debug: bool = False
+    #: mesh axis name for data-parallel execution under shard_map: rows of
+    #: x / y / weights / g_mem are sharded over this axis, w / g_sum are
+    #: replicated, and batch statistics are psum-reduced (see parallel/dist.py)
+    axis_name: str | None = None
+
+
+def _psum(v, config: SolverConfig):
+    if config.axis_name is None:
+        return v
+    return jax.lax.psum(v, config.axis_name)
 
 
 def init_state(n_pad: int, n_features: int, n_classes: int, dtype) -> SagaState:
@@ -149,7 +159,7 @@ def _batch_outer(x, xc, g_change, idx, sparse_mode: str):
     return corr
 
 
-def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, block: int = 1024):
+def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, config: SolverConfig, block: int = 1024):
     """Weighted total loss over the dataset, computed in row blocks
     (reference src/utils.h:199-227 EpochLoss / :304-329 Deviance)."""
     n_pad = y.shape[0]
@@ -166,7 +176,7 @@ def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, block: int = 
         return carry + jnp.sum(losses), None
 
     total, _ = jax.lax.scan(body, jnp.zeros((), w.dtype), jnp.arange(n_blocks))
-    return total
+    return _psum(total, config)
 
 
 # ---------------------------------------------------------------------------
@@ -187,10 +197,12 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
         g_change = g - state.g_mem[idx]  # (B, k)
         g_mem = state.g_mem.at[idx].set(g)
 
-        bw = jnp.maximum(jnp.sum(wb), 1e-12)
-        sum_gc = jnp.sum(g_change, axis=0)  # (k,)
+        bw = jnp.maximum(_psum(jnp.sum(wb), config), 1e-12)
+        sum_gc = _psum(jnp.sum(g_change, axis=0), config)  # (k,)
 
-        corr = _batch_outer(x, xc, g_change, idx, config.sparse_mode)  # (k, p)
+        # (k, p); under data-parallel execution this psum is the single
+        # collective per step — the rank-B update rides ICI once per batch
+        corr = _psum(_batch_outer(x, xc, g_change, idx, config.sparse_mode), config)
         grad_est = corr / bw + state.g_sum
         w_half = state.w * (1.0 - gamma * l2) - gamma * grad_est
         w_new = penalty.prox(w_half, gamma * l1)
@@ -212,7 +224,7 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
     return step
 
 
-def _refresh_g_sum(x, xc, weights, w_total, state: SagaState) -> SagaState:
+def _refresh_g_sum(x, xc, weights, w_total, state: SagaState, config: SolverConfig) -> SagaState:
     """Exact recompute g_sum = (1/W) X_eff^T g_mem — one matmul that resets
     float32 accumulation drift in the running gradient average."""
     if isinstance(x, PaddedCSR):
@@ -223,6 +235,8 @@ def _refresh_g_sum(x, xc, weights, w_total, state: SagaState) -> SagaState:
     col_sum = jnp.sum(state.g_mem, axis=0)  # (k,)
     if xc is not None:
         g_sum = g_sum - jnp.outer(col_sum, xc.astype(g_sum.dtype)) / w_total
+    g_sum = _psum(g_sum, config)
+    col_sum = _psum(col_sum, config)
     return state._replace(g_sum=g_sum, g_sum_intercept=col_sum / w_total)
 
 
@@ -234,6 +248,9 @@ def _make_epoch(x, y, weights, xc, w_total, family, penalty, config: SolverConfi
     step = _make_step(x, y, weights, xc, w_total, family, penalty, config)
 
     def epoch(state: SagaState, key, gamma, l1, l2):
+        if config.axis_name is not None:
+            # distinct sample order per shard
+            key = jax.random.fold_in(key, jax.lax.axis_index(config.axis_name))
         perm = jax.random.permutation(key, n_pad).reshape(n_batches, B)
 
         def body(state, idx):
@@ -241,7 +258,7 @@ def _make_epoch(x, y, weights, xc, w_total, family, penalty, config: SolverConfi
 
         state, _ = jax.lax.scan(body, state, perm)
         if config.g_sum_refresh:
-            state = _refresh_g_sum(x, xc, weights, w_total, state)
+            state = _refresh_g_sum(x, xc, weights, w_total, state, config)
         return state
 
     return epoch
@@ -285,7 +302,7 @@ def fit_path(
     while_loop until the relative-change convergence criterion
     max|dw| / max|w| <= tol (reference src/utils.h:240-262) or max_iter.
     """
-    w_total = jnp.maximum(jnp.sum(weights), 1e-12)
+    w_total = jnp.maximum(_psum(jnp.sum(weights), config), 1e-12)
     epoch_fn = _make_epoch(x, y, weights, xc, w_total, family, penalty, config)
     max_iter = config.max_iter
 
@@ -306,7 +323,7 @@ def fit_path(
             no_change = (max_size != 0.0) & (max_change <= tol * max_size)
             done = all_zero | no_change
             if config.debug:
-                loss = _dataset_loss(x, y, weights, xc, state.w, state.intercept, family) / w_total
+                loss = _dataset_loss(x, y, weights, xc, state.w, state.intercept, family, config) / w_total
                 losses = losses.at[it].set(loss)
             return (state, state.w, it + 1, done, losses)
 
@@ -319,7 +336,7 @@ def fit_path(
         gamma, l1, l2, i = xs
         lam_key = jax.random.fold_in(key, i)
         state, it, losses = fit_one(state, gamma, l1, l2, lam_key)
-        dev = 2.0 * _dataset_loss(x, y, weights, xc, state.w, state.intercept, family)
+        dev = 2.0 * _dataset_loss(x, y, weights, xc, state.w, state.intercept, family, config)
         out = (state.w, state.intercept, dev, it, jnp.where(it >= max_iter, 1, 0).astype(jnp.int32), losses)
         return (state, n_iter + it), out
 

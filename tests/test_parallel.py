@@ -1,0 +1,54 @@
+"""Multi-device data-parallel SAGA tests, run on a virtual 8-device CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8).
+
+These are the 1-chip-vs-N-device equivalence tests mandated by SURVEY.md §4:
+the sharded solver must reproduce single-device coefficients at the same
+1e-3 contract the reference holds itself to."""
+
+import numpy as np
+import jax
+import pytest
+import scipy.sparse as sp
+
+import sgdnet_tpu as st
+from sgdnet_tpu.parallel.dist import make_mesh
+from tests.helpers import random_data
+
+
+requires_multi = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@requires_multi
+@pytest.mark.parametrize("family", ["gaussian", "binomial"])
+def test_sharded_matches_single_device(family):
+    x, y = random_data(n=512, p=10, family=family, seed=1)
+    mesh = make_mesh(8)
+    common = dict(family=family, nlambda=8, thresh=1e-6, maxit=3000, dtype=np.float64)
+    # global batch must match: 4 per device * 8 devices == 32 single-device
+    f_single = st.fit(x, y, batch_size=32, **common)
+    f_shard = st.fit(x, y, batch_size=4, mesh=mesh, lambda_path=f_single.lambda_, **common)
+    scale = max(1.0, np.abs(f_single.beta).max())
+    np.testing.assert_allclose(f_shard.beta, f_single.beta, atol=2e-3 * scale)
+    np.testing.assert_allclose(f_shard.a0, f_single.a0, atol=5e-3 * scale)
+    np.testing.assert_allclose(f_shard.dev_ratio, f_single.dev_ratio, atol=1e-3)
+
+
+@requires_multi
+def test_sharded_sparse():
+    x, y = random_data(n=512, p=16, family="binomial", density=0.3, seed=2)
+    mesh = make_mesh(8)
+    common = dict(family="binomial", nlambda=6, thresh=1e-6, maxit=2000, dtype=np.float64)
+    f_single = st.fit(sp.csr_matrix(x), y, batch_size=32, **common)
+    f_shard = st.fit(
+        sp.csr_matrix(x), y, batch_size=4, mesh=mesh, lambda_path=f_single.lambda_, **common
+    )
+    scale = max(1.0, np.abs(f_single.beta).max())
+    np.testing.assert_allclose(f_shard.beta, f_single.beta, atol=2e-3 * scale)
+
+
+@requires_multi
+def test_mesh_of_two():
+    x, y = random_data(n=200, p=6, seed=3)
+    mesh = make_mesh(2)
+    f = st.fit(x, y, batch_size=8, mesh=mesh, nlambda=5, dtype=np.float64)
+    assert (f.return_codes == 0).all()
