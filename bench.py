@@ -26,14 +26,18 @@ def log(*a):
 
 
 def make_sparse_binomial(n=100_000, p=47_000, nnz_per_row=76, seed=0, dtype=np.float32):
-    """rcv1-scale synthetic: fixed nnz per row, power-law-ish column usage."""
+    """rcv1-scale synthetic: fixed nnz per row, Zipf-like column usage
+    (bag-of-words statistics: a small head of frequent features carries most
+    nonzeros, like the real rcv1)."""
     import jax.numpy as jnp
 
     from sgdnet_tpu.core.sparse import PaddedCSR
 
     rng = np.random.default_rng(seed)
-    # skewed column distribution (frequent features first), rcv1-like
-    cols = (p * rng.random((n, nnz_per_row)) ** 2.0).astype(np.int32) % p
+    # Zipf-ish column popularity ~ 1/(rank + 50)
+    weights = 1.0 / (np.arange(p) + 50.0)
+    cdf = np.cumsum(weights) / weights.sum()
+    cols = np.searchsorted(cdf, rng.random((n, nnz_per_row))).astype(np.int32).clip(0, p - 1)
     vals = rng.normal(size=(n, nnz_per_row)).astype(dtype)
     w_true = rng.normal(size=p) * (rng.random(p) < 0.05) * 3.0
     lp = (vals * w_true[cols]).sum(axis=1)
@@ -48,7 +52,30 @@ def make_sparse_binomial(n=100_000, p=47_000, nnz_per_row=76, seed=0, dtype=np.f
     return x, y.reshape(-1, 1)
 
 
-def bench_sparse_epoch(n=100_000, p=47_000, nnz_per_row=76, batch_size=1024, epochs=5, sparse_mode="gather"):
+def to_hybrid(x, max_head=4096, coverage=0.9):
+    """Convert a PaddedCSR to the dense-head/sparse-tail layout."""
+    import scipy.sparse as sp
+
+    from sgdnet_tpu.core.sparse import HybridCSR
+
+    n, p = x.shape
+    ind = np.asarray(x.indices).reshape(-1)
+    val = np.asarray(x.values).reshape(-1)
+    rows = np.repeat(np.arange(n), x.indices.shape[1])
+    keep = val != 0
+    xs = sp.csr_matrix((val[keep], (rows[keep], ind[keep])), shape=(n, p))
+    xh, perm = HybridCSR.split_columns(xs, coverage=coverage, max_head=max_head)
+    head_nnz = int((np.asarray(xh.head) != 0).sum())
+    log(
+        f"hybrid split: head D={xh.n_head} covers {head_nnz / max(keep.sum(), 1):.1%} of nnz, "
+        f"tail width L={xh.tail.row_width}"
+    )
+    return xh, perm
+
+
+def bench_sparse_epoch(
+    n=100_000, p=47_000, nnz_per_row=76, batch_size=1024, epochs=5, sparse_mode="gather", hybrid=False
+):
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +84,8 @@ def bench_sparse_epoch(n=100_000, p=47_000, nnz_per_row=76, batch_size=1024, epo
     from sgdnet_tpu.solver.saga import SolverConfig, _make_epoch, init_state
 
     x, y = make_sparse_binomial(n, p, nnz_per_row)
+    if hybrid:
+        x, _ = to_hybrid(x)
     n_pad = ((n + batch_size - 1) // batch_size) * batch_size
     x = x.pad_rows(n_pad)
     y = jnp.concatenate([jnp.asarray(y), jnp.zeros((n_pad - n, 1), jnp.float32)])
@@ -93,7 +122,8 @@ def bench_sparse_epoch(n=100_000, p=47_000, nnz_per_row=76, batch_size=1024, epo
     nnz_per_s = total_nnz / elapsed
     log(
         f"sparse epoch bench: n={n} p={p} nnz/row={nnz_per_row} B={batch_size} "
-        f"mode={sparse_mode}: {epochs} epochs in {elapsed:.3f}s -> {nnz_per_s:.3e} nnz/s"
+        f"mode={'hybrid' if hybrid else sparse_mode}: {epochs} epochs in {elapsed:.3f}s "
+        f"-> {nnz_per_s:.3e} nnz/s"
     )
     return nnz_per_s
 
@@ -104,12 +134,16 @@ def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     best = 0.0
     # modest sweep over batch size / strategy; report the best steady-state
-    for mode, bs in (("gather", 1024), ("gather", 4096)):
+    for kwargs in (
+        dict(batch_size=4096, hybrid=True),
+        dict(batch_size=8192, hybrid=True),
+        dict(batch_size=4096, sparse_mode="gather"),
+    ):
         try:
-            v = bench_sparse_epoch(batch_size=bs, sparse_mode=mode)
+            v = bench_sparse_epoch(**kwargs)
             best = max(best, v)
         except Exception as e:  # noqa: BLE001
-            log(f"config mode={mode} bs={bs} failed: {e}")
+            log(f"config {kwargs} failed: {e}")
     print(
         json.dumps(
             {

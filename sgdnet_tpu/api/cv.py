@@ -101,6 +101,7 @@ def cv_fit(
     type_measure: str = "deviance",
     seed: int = 0,
     parallel: bool = False,
+    cv_mesh=None,
     **fit_kwargs,
 ) -> CvFit:
     """Cross-validate elastic-net GLM fits over alpha x lambda.
@@ -168,6 +169,8 @@ def cv_fit(
                 alpha=float(alphas[i]),
                 lambda_path=lambda_list[i],
                 type_measure=type_measure,
+                mesh=cv_mesh,
+                seed=seed,
                 **fit_kwargs,
             )
         else:

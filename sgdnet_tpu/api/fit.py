@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sgdnet_tpu.core.sparse import PaddedCSR
+from sgdnet_tpu.core.sparse import HybridCSR, PaddedCSR
 from sgdnet_tpu.families import get_family
 from sgdnet_tpu.penalties import select_penalty
 from sgdnet_tpu.solver.saga import SagaState, SolverConfig, fit_path, init_state
@@ -103,21 +103,34 @@ class SgdnetFit:
         return "\n".join(lines)
 
 
-def _as_design_matrix(x, dtype):
-    """Accept numpy/jax dense, scipy sparse, or PaddedCSR."""
-    if isinstance(x, PaddedCSR):
-        return x, True
+def _as_design_matrix(x, dtype, hybrid=None, hybrid_coverage=0.75, hybrid_max_head=4096):
+    """Accept numpy/jax dense, scipy sparse, PaddedCSR, or HybridCSR.
+
+    scipy input with many columns is converted to the dense-head/sparse-tail
+    HybridCSR layout (see core/sparse.py) with a column permutation; returns
+    (x, is_sparse, col_perm) where col_perm maps new -> original columns.
+    """
+    if isinstance(x, (PaddedCSR, HybridCSR)):
+        return x, True, None
     try:
         import scipy.sparse as sp
 
         if sp.issparse(x):
-            return PaddedCSR.from_scipy(x, dtype=dtype), True
+            p = x.shape[1]
+            if hybrid is None:
+                hybrid = p > 512
+            if hybrid:
+                xh, perm = HybridCSR.split_columns(
+                    x, coverage=hybrid_coverage, max_head=hybrid_max_head, dtype=dtype
+                )
+                return xh, True, perm
+            return PaddedCSR.from_scipy(x, dtype=dtype), True, None
     except ImportError:
         pass
     x = jnp.asarray(np.asarray(x), dtype=dtype)
     if x.ndim != 2:
         raise ValueError("x must be a 2-D matrix")
-    return x, False
+    return x, False, None
 
 
 def _weighted_column_stats(x: jnp.ndarray, weights: jnp.ndarray):
@@ -154,6 +167,9 @@ def fit(
     sparse_mode: str | None = None,
     feature_names=None,
     mesh=None,
+    hybrid: bool | None = None,
+    hybrid_coverage: float = 0.75,
+    hybrid_max_head: int = 4096,
 ) -> SgdnetFit:
     """Fit an elastic-net regularized GLM path with batched SAGA.
 
@@ -181,7 +197,9 @@ def fit(
     if maxit <= 0:
         raise ValueError("maximum number of iterations cannot be negative or zero.")
 
-    x, is_sparse = _as_design_matrix(x, dtype)
+    x, is_sparse, col_perm = _as_design_matrix(
+        x, dtype, hybrid=hybrid, hybrid_coverage=hybrid_coverage, hybrid_max_head=hybrid_max_head
+    )
     n_samples, n_features = x.shape
     if n_samples == 0:
         raise ValueError("the predictor matrix (x) is empty.")
@@ -229,7 +247,11 @@ def fit(
     # ---- feature standardization (reference src/sgdnet.cpp:143-151) ----
     xc = None  # sparse centering correction term (center/scale)
     if standardize:
-        if is_sparse:
+        if isinstance(x, HybridCSR):
+            x_center, x_scale = x.column_stats()
+            x, xc = x.standardize(x_center, x_scale)
+            xc = xc.astype(dtype)
+        elif is_sparse:
             x_center64, x_scale64 = x.column_stats()
             x = x.scale_columns(x_scale64)
             xc = (x_center64 / x_scale64).astype(dtype)
@@ -266,20 +288,19 @@ def fit(
 
     # ---- step sizes (reference src/utils.h:31-51 + minibatch extension) ----
     active = (weights > 0).astype(jnp.float64)
-    if is_sparse:
+    if isinstance(x, HybridCSR):
+        per_row = x.row_squared_norms(xc)
+    elif is_sparse:
         # squared norms of (scaled, centered) rows without densifying
-        row_sq = x.max_squared_row_norm(xc)  # max over all rows incl. pad-irrelevant
-        # recompute per-row for masking
         vals64 = x.values.astype(jnp.float64)
         per_row = jnp.sum(vals64**2, axis=1)
         if xc is not None:
             c = xc.astype(jnp.float64)
             cross = jnp.sum(vals64 * c[x.indices], axis=1)
             per_row = per_row - 2.0 * cross + jnp.sum(c**2)
-        max_sq = float(jnp.max(per_row * active))
     else:
         per_row = jnp.sum(x.astype(jnp.float64) ** 2, axis=1)
-        max_sq = float(jnp.max(per_row * active))
+    max_sq = float(jnp.max(per_row * active))
 
     if batch_size > 1:
         top_sq = float(power_iteration_sq_norm(x, xc)) / w_total
@@ -382,6 +403,11 @@ def fit(
     # multinomial intercepts re-centered to sum 0 (reference R/sgdnet.R:409-410)
     if family == "multinomial":
         a0 = a0 - a0.mean(axis=1, keepdims=True)
+
+    if col_perm is not None:  # undo the hybrid head/tail column permutation
+        unperm = np.empty_like(beta)
+        unperm[:, :, col_perm] = beta
+        beta = unperm
 
     dev = np.asarray(results.deviance, dtype=np.float64)
     if null_dev_scaled != 0.0:

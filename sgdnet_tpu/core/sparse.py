@@ -157,3 +157,130 @@ class PaddedCSR:
         """x @ w_t for dense w_t (p, k): returns (n, k) via gather."""
         gathered = w_t[self.indices]  # (n, L, k)
         return jnp.einsum("nl,nlk->nk", self.values, gathered)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class HybridCSR:
+    """Dense-head / sparse-tail design matrix.
+
+    TPU gathers and scatters cost ~7-9 ns *per element* (serialized on the
+    scalar core), while MXU matmuls are effectively free at these sizes — so
+    for the Zipf-distributed sparsity of real text/bag-of-words data
+    (rcv1-class workloads) the fastest layout stores the D most frequent
+    columns as a dense (n, D) block driven entirely by matmuls, and only the
+    rare-column tail as padded CSR driven by gather/scatter.  Columns are
+    globally permuted so the head occupies columns [0, D); the caller keeps
+    the permutation to un-permute coefficients.
+
+    This layout is exact (no approximation): it is a column split of the
+    same matrix, and the solver's updates on head and tail parts compose
+    linearly.
+    """
+
+    head: jnp.ndarray  # (n, D) dense values of the D hottest columns
+    tail: PaddedCSR  # (n, p) logical; entries only in columns >= D
+    n_rows: int
+    n_cols: int
+
+    def tree_flatten(self):
+        return (self.head, self.tail), (self.n_rows, self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        head, tail = children
+        return cls(head, tail, *aux)
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def n_head(self) -> int:
+        return self.head.shape[1]
+
+    @classmethod
+    def split_columns(cls, x_scipy, coverage: float = 0.75, max_head: int = 4096, dtype=jnp.float32):
+        """Choose the head = smallest set of most-frequent columns covering
+        `coverage` of all nonzeros (capped at max_head); returns
+        (HybridCSR, perm) where perm maps new column index -> original."""
+        import scipy.sparse as sp
+
+        x = x_scipy.tocsc()
+        n, p = x.shape
+        col_nnz = np.diff(x.indptr)
+        order = np.argsort(-col_nnz, kind="stable")  # hottest first
+        covered = np.cumsum(col_nnz[order])
+        total = max(int(covered[-1]) if p else 0, 1)
+        d = int(np.searchsorted(covered, coverage * total) + 1)
+        d = max(min(d, max_head, p), 1)
+        d = _round_up(d, 128) if d < p else p
+        d = min(d, p)
+        perm = np.concatenate([order[:d], np.sort(order[d:])]).astype(np.int64)
+        x_perm = x[:, perm].tocsr()
+        head = np.asarray(x_perm[:, :d].todense())
+        tail_sp = sp.csr_matrix(x_perm[:, d:])
+        # tail keeps logical columns [d, p): shift indices up
+        tail = PaddedCSR.from_scipy(tail_sp, dtype=dtype)
+        tail = PaddedCSR(tail.indices + d, tail.values, tail.nnz, n, p)
+        return cls(jnp.asarray(head, dtype), tail, n, p), perm
+
+    def column_stats(self):
+        """Per-column (mean, population SD); head densely, tail sparse-aware."""
+        h = self.head.astype(jnp.float64)
+        h_mean = jnp.mean(h, axis=0)
+        h_var = jnp.mean((h - h_mean) ** 2, axis=0)
+        h_sd = jnp.where(h_var == 0.0, 1.0, jnp.sqrt(h_var))
+        t_mean, t_sd = self.tail.column_stats()
+        d = self.n_head
+        mean = t_mean.at[:d].set(h_mean)
+        sd = t_sd.at[:d].set(h_sd)
+        return mean, sd
+
+    def standardize(self, mean: jnp.ndarray, sd: jnp.ndarray):
+        """Head: full center+scale (it is dense anyway).  Tail: scale-only;
+        the solver carries the tail centering correction (zeros on head)."""
+        d = self.n_head
+        head = ((self.head.astype(jnp.float64) - mean[:d]) / sd[:d]).astype(self.head.dtype)
+        tail = self.tail.scale_columns(sd)
+        xc = (mean / sd).at[:d].set(0.0)
+        return HybridCSR(head, tail, self.n_rows, self.n_cols), xc
+
+    def pad_rows(self, n_total: int) -> "HybridCSR":
+        extra = n_total - self.n_rows
+        if extra <= 0:
+            return self
+        head = jnp.concatenate([self.head, jnp.zeros((extra, self.n_head), self.head.dtype)])
+        tail = self.tail.pad_rows(n_total)
+        return HybridCSR(head, tail, n_total, self.n_cols)
+
+    def total_nnz(self) -> int:
+        head_nnz = int(np.count_nonzero(np.asarray(self.head)))
+        return head_nnz + self.tail.total_nnz()
+
+    def row_squared_norms(self, xc: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Per-row ||x_i - c||^2 (head already centered; c applies to tail)."""
+        h = jnp.sum(self.head.astype(jnp.float64) ** 2, axis=1)
+        vals64 = self.tail.values.astype(jnp.float64)
+        t = jnp.sum(vals64**2, axis=1)
+        if xc is not None:
+            c = xc.astype(jnp.float64)
+            cross = jnp.sum(vals64 * c[self.tail.indices], axis=1)
+            t = t - 2.0 * cross + jnp.sum(c**2)
+        return h + t
+
+    def matvec_T(self, v: jnp.ndarray) -> jnp.ndarray:
+        """x.T @ v: head via matmul, tail via scatter; v (n,) or (n, m)."""
+        t = self.tail.matvec_T(v)
+        v2 = v if v.ndim == 2 else v[:, None]
+        h = jnp.dot(self.head.T, v2.astype(self.head.dtype), preferred_element_type=self.head.dtype)
+        d = self.n_head
+        if v.ndim == 1:
+            return t.at[:d].add(h[:, 0])
+        return t.at[:d].add(h)
+
+    def matmul_dense(self, w_t: jnp.ndarray) -> jnp.ndarray:
+        """x @ w_t, w_t (p, k) -> (n, k)."""
+        d = self.n_head
+        h = jnp.dot(self.head, w_t[:d], preferred_element_type=self.head.dtype)
+        return h + self.tail.matmul_dense(w_t)

@@ -24,13 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from sgdnet_tpu.core.linalg import clamp, column_mean, column_sd, logsumexp
-from sgdnet_tpu.core.sparse import PaddedCSR
+from sgdnet_tpu.core.sparse import HybridCSR, PaddedCSR
 
 
 def _xty(x, y: jnp.ndarray) -> jnp.ndarray:
-    """x.T @ y for dense or PaddedCSR x; returns (p, m)."""
-    if isinstance(x, PaddedCSR):
-        return x.matvec_T(y.astype(x.values.dtype)).astype(jnp.float64)
+    """x.T @ y for dense, PaddedCSR, or HybridCSR x; returns (p, m)."""
+    if isinstance(x, (PaddedCSR, HybridCSR)):
+        dtype = x.values.dtype if isinstance(x, PaddedCSR) else x.head.dtype
+        return x.matvec_T(y.astype(dtype)).astype(jnp.float64)
     return x.T.astype(jnp.float64) @ y.astype(jnp.float64)
 
 
@@ -39,6 +40,16 @@ def _wmean(y: jnp.ndarray, weights: jnp.ndarray | None) -> jnp.ndarray:
         return jnp.mean(y, axis=0)
     w = weights.reshape(-1, 1)
     return jnp.sum(y * w, axis=0) / jnp.sum(w)
+
+
+def _wstats(y: jnp.ndarray, weights: jnp.ndarray):
+    """Weighted per-column (mean, population SD) with zero-variance guard."""
+    w = weights.reshape(-1, 1)
+    W = jnp.maximum(jnp.sum(w), 1e-12)
+    mean = jnp.sum(y * w, axis=0) / W
+    var = jnp.sum(w * (y - mean) ** 2, axis=0) / W
+    sd = jnp.where(var == 0.0, 1.0, jnp.sqrt(var))
+    return mean, sd
 
 
 class Family:
@@ -70,10 +81,11 @@ class Family:
         raise NotImplementedError
 
     # ----- device-side (jit-safe) -----
-    def preprocess(self, y: jnp.ndarray):
+    def preprocess(self, y: jnp.ndarray, weights: jnp.ndarray | None = None):
         """Response standardization; returns (y_t, y_center (k,), y_scale (k,))."""
         k = self.n_classes
-        return y, jnp.zeros((k,), jnp.float64), jnp.ones((k,), jnp.float64)
+        z = jnp.zeros((k,), y.dtype)
+        return y, z, z + 1.0
 
     def loss(self, lp: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         """Per-sample loss; lp (B, k), y (B, ky) -> (B,)."""
@@ -117,9 +129,12 @@ class Gaussian(Family):
             raise ValueError("response for Gaussian regression must be one-dimensional.")
         return y, None
 
-    def preprocess(self, y):
-        center = column_mean(y)
-        scale = column_sd(y, center)
+    def preprocess(self, y, weights=None):
+        if weights is None:
+            center = column_mean(y)
+            scale = column_sd(y, center)
+        else:
+            center, scale = _wstats(y, weights)
         return (y - center) / scale, center, scale
 
     def loss(self, lp, y):
@@ -264,16 +279,20 @@ class MultivariateGaussian(Family):
         self.n_classes = y.shape[1]
         return y, None
 
-    def preprocess(self, y):
+    def preprocess(self, y, weights=None):
         # glmnet-style: standardizes y but reports coefficients on the
         # standardized-y scale (y_center/y_scale stay 0/1 — reference
         # src/families.h:337-348 deliberately never fills them in)
         k = self.n_classes
         if self.standardize_response:
-            center = column_mean(y)
-            scale = column_sd(y, center)
+            if weights is None:
+                center = column_mean(y)
+                scale = column_sd(y, center)
+            else:
+                center, scale = _wstats(y, weights)
             y = (y - center) / scale
-        return y, jnp.zeros((k,), jnp.float64), jnp.ones((k,), jnp.float64)
+        z = jnp.zeros((k,), y.dtype)
+        return y, z, z + 1.0
 
     def loss(self, lp, y):
         return 0.5 * jnp.sum((lp - y) ** 2, axis=1)

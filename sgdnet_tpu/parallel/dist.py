@@ -34,19 +34,20 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from sgdnet_tpu.core.sparse import PaddedCSR
+from sgdnet_tpu.core.sparse import HybridCSR, PaddedCSR
 from sgdnet_tpu.solver.saga import PathResults, SagaState, SolverConfig, fit_path
 
 AXIS = "data"
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D data mesh over the first n_devices devices."""
+def make_mesh(n_devices: int | None = None, devices=None, axis: str = AXIS) -> Mesh:
+    """1-D mesh over the first n_devices devices ('data' axis by default;
+    pass axis='folds' for fold-parallel CV)."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (AXIS,))
+    return Mesh(np.asarray(devices), (axis,))
 
 
 def pad_to_shards(n: int, n_shards: int, batch_size: int) -> int:
@@ -62,20 +63,33 @@ def shard_inputs(mesh: Mesh, x, y, weights):
     row2 = NamedSharding(mesh, P(AXIS, None))
     y = jax.device_put(y, row2)
     weights = jax.device_put(weights, row)
-    if isinstance(x, PaddedCSR):
-        x = PaddedCSR(
-            jax.device_put(x.indices, row2),
-            jax.device_put(x.values, row2),
-            jax.device_put(x.nnz, row),
-            x.n_rows,
-            x.n_cols,
+
+    def shard_csr(csr: PaddedCSR) -> PaddedCSR:
+        return PaddedCSR(
+            jax.device_put(csr.indices, row2),
+            jax.device_put(csr.values, row2),
+            jax.device_put(csr.nnz, row),
+            csr.n_rows,
+            csr.n_cols,
         )
+
+    if isinstance(x, HybridCSR):
+        x = HybridCSR(jax.device_put(x.head, row2), shard_csr(x.tail), x.n_rows, x.n_cols)
+    elif isinstance(x, PaddedCSR):
+        x = shard_csr(x)
     else:
         x = jax.device_put(x, row2)
     return x, y, weights
 
 
 def _specs_for_x(x):
+    if isinstance(x, HybridCSR):
+        return HybridCSR(
+            P(AXIS, None),
+            PaddedCSR(P(AXIS, None), P(AXIS, None), P(AXIS), x.tail.n_rows, x.tail.n_cols),
+            x.n_rows,
+            x.n_cols,
+        )
     if isinstance(x, PaddedCSR):
         return PaddedCSR(P(AXIS, None), P(AXIS, None), P(AXIS), x.n_rows, x.n_cols)
     return P(AXIS, None)
@@ -134,9 +148,15 @@ def fit_path_sharded(
     )
 
     def local_fit(x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l):
-        if isinstance(x_l, PaddedCSR):
-            # shard_map hands back locally-shaped leaves; fix logical shape
-            x_l = PaddedCSR(x_l.indices, x_l.values, x_l.nnz, y_l.shape[0], x_l.n_cols)
+        # shard_map hands back locally-shaped leaves; fix logical row counts
+        n_local = y_l.shape[0]
+        if isinstance(x_l, HybridCSR):
+            tail = PaddedCSR(
+                x_l.tail.indices, x_l.tail.values, x_l.tail.nnz, n_local, x_l.tail.n_cols
+            )
+            x_l = HybridCSR(x_l.head, tail, n_local, x_l.n_cols)
+        elif isinstance(x_l, PaddedCSR):
+            x_l = PaddedCSR(x_l.indices, x_l.values, x_l.nnz, n_local, x_l.n_cols)
         return fit_path(x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l, family, penalty, config)
 
     try:  # jax >= 0.8 uses check_vma; older versions check_rep

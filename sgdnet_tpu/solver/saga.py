@@ -55,7 +55,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sgdnet_tpu.core.sparse import PaddedCSR
+from sgdnet_tpu.core.sparse import HybridCSR, PaddedCSR
 from sgdnet_tpu.families.families import Family
 from sgdnet_tpu.penalties.penalties import Penalty
 
@@ -115,14 +115,23 @@ def init_state(n_pad: int, n_features: int, n_classes: int, dtype) -> SagaState:
 # ---------------------------------------------------------------------------
 
 
+def _csr_batch_predict(csr: PaddedCSR, w, idx):
+    ib = csr.indices[idx]  # (B, L)
+    vb = csr.values[idx]  # (B, L)
+    wt = w.T  # (p, k)
+    return jnp.einsum("bl,blk->bk", vb, wt[ib], preferred_element_type=w.dtype)
+
+
 def _batch_predict(x, xc, w, idx):
     """Linear predictors for the rows in `idx`: (B, k).  Handles the sparse
     centering correction lp -= w @ c (reference src/saga-sparse.h:274-277)."""
-    if isinstance(x, PaddedCSR):
-        ib = x.indices[idx]  # (B, L)
-        vb = x.values[idx]  # (B, L)
-        wt = w.T  # (p, k)
-        lp = jnp.einsum("bl,blk->bk", vb, wt[ib], preferred_element_type=w.dtype)
+    if isinstance(x, HybridCSR):
+        d = x.n_head
+        hb = x.head[idx]  # (B, D) — vectorized row gather
+        lp = jnp.dot(hb, w[:, :d].T, preferred_element_type=w.dtype)  # MXU
+        lp = lp + _csr_batch_predict(x.tail, w, idx)
+    elif isinstance(x, PaddedCSR):
+        lp = _csr_batch_predict(x, w, idx)
     else:
         xb = x[idx]
         lp = jnp.dot(xb, w.T, preferred_element_type=w.dtype)
@@ -131,10 +140,28 @@ def _batch_predict(x, xc, w, idx):
     return lp
 
 
+def _csr_batch_outer(csr: PaddedCSR, g_change, idx):
+    """Tail/CSR scatter part of the rank-B update: (k, p)."""
+    ib = csr.indices[idx]
+    vb = csr.values[idx]
+    contrib = vb[:, :, None] * g_change[:, None, :]  # (B, L, k)
+    k = g_change.shape[1]
+    corr_t = (
+        jnp.zeros((csr.n_cols, k), g_change.dtype).at[ib.reshape(-1)].add(contrib.reshape(-1, k))
+    )
+    return corr_t.T
+
+
 def _batch_outer(x, xc, g_change, idx, sparse_mode: str):
     """corr[k, j] = sum_b g_change[b, k] * x_eff[b, j], where x_eff is the
     (centered, scaled) row — the rank-B coefficient update."""
-    if isinstance(x, PaddedCSR):
+    if isinstance(x, HybridCSR):
+        d = x.n_head
+        hb = x.head[idx]  # (B, D)
+        head_corr = jnp.dot(g_change.T, hb, preferred_element_type=g_change.dtype)  # MXU
+        corr = _csr_batch_outer(x.tail, g_change, idx)
+        corr = corr.at[:, :d].add(head_corr)
+    elif isinstance(x, PaddedCSR):
         ib = x.indices[idx]
         vb = x.values[idx]
         if sparse_mode == "densify":
@@ -143,14 +170,7 @@ def _batch_outer(x, xc, g_change, idx, sparse_mode: str):
             xb = jnp.zeros((B, x.n_cols), vb.dtype).at[rows, ib].add(vb)
             corr = jnp.dot(g_change.T, xb, preferred_element_type=g_change.dtype)
         else:  # gather/scatter
-            contrib = vb[:, :, None] * g_change[:, None, :]  # (B, L, k)
-            k = g_change.shape[1]
-            corr_t = (
-                jnp.zeros((x.n_cols, k), g_change.dtype)
-                .at[ib.reshape(-1)]
-                .add(contrib.reshape(-1, k))
-            )
-            corr = corr_t.T
+            corr = _csr_batch_outer(x, g_change, idx)
     else:
         xb = x[idx]
         corr = jnp.dot(g_change.T, xb, preferred_element_type=g_change.dtype)
@@ -227,7 +247,7 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
 def _refresh_g_sum(x, xc, weights, w_total, state: SagaState, config: SolverConfig) -> SagaState:
     """Exact recompute g_sum = (1/W) X_eff^T g_mem — one matmul that resets
     float32 accumulation drift in the running gradient average."""
-    if isinstance(x, PaddedCSR):
+    if isinstance(x, (PaddedCSR, HybridCSR)):
         g_sum_t = x.matvec_T(state.g_mem)  # (p, k)
         g_sum = g_sum_t.T / w_total
     else:

@@ -23,20 +23,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sgdnet_tpu.core.sparse import PaddedCSR
+from sgdnet_tpu.core.sparse import HybridCSR, PaddedCSR
 
 
 def power_iteration_sq_norm(x, x_center_scaled=None, n_iter: int = 30, seed: int = 0):
-    """lambda_max(X^T X) via power iteration; x dense (n, p) or PaddedCSR.
+    """lambda_max(X^T X) via power iteration; x dense (n, p), PaddedCSR, or
+    HybridCSR.
 
     With `x_center_scaled` given (sparse standardized path), the operator is
     (X - 1 c^T), applied without densifying.
     """
-    if isinstance(x, PaddedCSR):
+    if isinstance(x, (PaddedCSR, HybridCSR)):
         p = x.n_cols
+        dtype = x.values.dtype if isinstance(x, PaddedCSR) else x.head.dtype
 
         def matvec(v):
-            xv = x.matmul_dense(v.reshape(-1, 1).astype(x.values.dtype))[:, 0]
+            xv = x.matmul_dense(v.reshape(-1, 1).astype(dtype))[:, 0]
             if x_center_scaled is not None:
                 xv = xv - jnp.dot(x_center_scaled.astype(xv.dtype), v.astype(xv.dtype))
             ytx = x.matvec_T(xv)
@@ -46,12 +48,11 @@ def power_iteration_sq_norm(x, x_center_scaled=None, n_iter: int = 30, seed: int
 
     else:
         p = x.shape[1]
+        dtype = x.dtype
 
         def matvec(v):
             xv = x @ v.astype(x.dtype)
             return x.T @ xv
-
-    dtype = x.values.dtype if isinstance(x, PaddedCSR) else x.dtype
     v = jax.random.normal(jax.random.PRNGKey(seed), (p,), dtype=dtype)
     v = v / jnp.linalg.norm(v)
 

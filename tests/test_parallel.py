@@ -52,3 +52,31 @@ def test_mesh_of_two():
     mesh = make_mesh(2)
     f = st.fit(x, y, batch_size=8, mesh=mesh, nlambda=5, dtype=np.float64)
     assert (f.return_codes == 0).all()
+
+
+@requires_multi
+def test_parallel_cv_matches_serial():
+    """Fold-parallel CV (folds sharded over devices, masked fits) matches
+    the serial per-fold refit path."""
+    x, y = random_data(n=240, p=6, seed=10)
+    foldid = np.arange(240) % 4
+    cv_serial = st.cv_fit(x, y, foldid=foldid, nlambda=6, thresh=1e-5, dtype=np.float64)
+    fold_mesh = make_mesh(4, axis="folds")
+    cv_par = st.cv_fit(
+        x, y, foldid=foldid, nlambda=6, thresh=1e-5, dtype=np.float64,
+        parallel=True, cv_mesh=fold_mesh,
+    )
+    np.testing.assert_allclose(cv_par.cv_raw[0], cv_serial.cv_raw[0], rtol=0.05, atol=1e-3)
+    assert abs(np.log(cv_par.lambda_min) - np.log(cv_serial.lambda_min)) < 1e-9
+
+
+@requires_multi
+def test_parallel_cv_binomial_class():
+    x, y = random_data(n=160, p=5, family="binomial", seed=11)
+    foldid = np.arange(160) % 4
+    fold_mesh = make_mesh(4, axis="folds")
+    cv = st.cv_fit(
+        x, y, family="binomial", foldid=foldid, nlambda=5, type_measure="class",
+        dtype=np.float64, parallel=True, cv_mesh=fold_mesh,
+    )
+    assert np.isfinite(cv.cv_summary["mean"]).all()

@@ -92,3 +92,45 @@ def test_sparse_lambda_path_matches_dense():
     f_dense = st.fit(x, y, nlambda=5, dtype=np.float64)
     f_sparse = st.fit(sp.csr_matrix(x), y, nlambda=5, dtype=np.float64)
     np.testing.assert_allclose(f_sparse.lambda_, f_dense.lambda_, rtol=1e-8)
+
+
+def test_hybrid_equals_dense():
+    """Hybrid head/tail layout (auto for p > 512) reproduces the dense fit —
+    the column split + permutation is exact, not an approximation."""
+    rng = np.random.default_rng(11)
+    n, p = 300, 700
+    # zipf-ish column usage so the head actually covers most nonzeros
+    cols = (p * rng.random((n, 20)) ** 3).astype(int) % p
+    x = np.zeros((n, p))
+    for i in range(n):
+        x[i, cols[i]] = rng.normal(size=20)
+    beta_true = np.zeros(p)
+    beta_true[:10] = rng.normal(size=10)
+    y = x @ beta_true + 0.1 * rng.normal(size=n)
+
+    common = dict(nlambda=8, thresh=1e-6, maxit=2000, dtype=np.float64)
+    f_dense = st.fit(x, y, **common)
+    xs = sp.csr_matrix(x)
+    f_hybrid = st.fit(xs, y, lambda_path=f_dense.lambda_, **common)
+    from sgdnet_tpu.api.fit import _as_design_matrix
+    xh, is_sp, perm = _as_design_matrix(xs, np.float64)
+    assert is_sp and perm is not None
+    from sgdnet_tpu.core.sparse import HybridCSR
+    assert isinstance(xh, HybridCSR) and xh.n_head >= 128
+    scale = max(1.0, np.abs(f_dense.beta).max())
+    np.testing.assert_allclose(f_hybrid.beta, f_dense.beta, atol=2e-3 * scale)
+    np.testing.assert_allclose(f_hybrid.a0, f_dense.a0, atol=5e-3 * scale)
+
+
+def test_hybrid_pure_csr_agree():
+    """Hybrid and pure padded-CSR paths give the same solution."""
+    rng = np.random.default_rng(12)
+    n, p = 256, 600
+    x = (rng.random((n, p)) < 0.05) * rng.normal(size=(n, p))
+    y = x[:, 0] * 2.0 + 0.1 * rng.normal(size=n)
+    xs = sp.csr_matrix(x)
+    common = dict(nlambda=6, thresh=1e-6, maxit=2000, dtype=np.float64)
+    f_hybrid = st.fit(xs, y, hybrid=True, **common)
+    f_csr = st.fit(xs, y, hybrid=False, lambda_path=f_hybrid.lambda_, **common)
+    scale = max(1.0, np.abs(f_csr.beta).max())
+    np.testing.assert_allclose(f_hybrid.beta, f_csr.beta, atol=2e-3 * scale)
