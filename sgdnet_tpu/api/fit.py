@@ -204,6 +204,12 @@ def fit(
     if n_samples == 0:
         raise ValueError("the predictor matrix (x) is empty.")
 
+    x_vals = x.values if isinstance(x, PaddedCSR) else x.head if isinstance(x, HybridCSR) else x
+    if bool(jnp.isnan(x_vals).any()) or (
+        isinstance(x, HybridCSR) and bool(jnp.isnan(x.tail.values).any())
+    ):
+        raise ValueError("NA values are not allowed.")
+
     y_arr = np.asarray(y)
     if y_arr.shape[0] != n_samples:
         raise ValueError("the number of samples in 'x' and 'y' must match")
@@ -267,12 +273,13 @@ def fit(
     nulldev = float(fam.null_deviance(y_dev.astype(jnp.float64), intercept, weights.astype(jnp.float64)))
 
     # ---- response preprocessing (always, src/sgdnet.cpp:158) ----
-    y_proc64, y_center, y_scale = fam.preprocess(y_dev.astype(jnp.float64))
+    w64 = weights.astype(jnp.float64) if sample_weight is not None else None
+    y_proc64, y_center, y_scale = fam.preprocess(y_dev.astype(jnp.float64), w64)
     y_proc = y_proc64.astype(dtype)
 
     # ---- lambda path (reference src/utils.h:142-181) ----
     if lambda_path is None:
-        lam_max = float(fam.lambda_max(x, y_proc64, y_scale)) / max(alpha, 0.001)
+        lam_max = float(fam.lambda_max(x, y_proc64, y_scale, w64)) / max(alpha, 0.001)
         if lam_max > 0.0 and np.isfinite(lam_max):
             if lambda_min_ratio is None:
                 lambda_min_ratio = 0.01 if n_samples < n_features else 1e-4

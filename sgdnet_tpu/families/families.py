@@ -107,8 +107,10 @@ class Family:
             losses = losses * weights
         return 2.0 * jnp.sum(losses)
 
-    def lambda_max(self, x, y: jnp.ndarray, y_scale: jnp.ndarray) -> jnp.ndarray:
-        """Largest lambda on the auto path (family-specific)."""
+    def lambda_max(self, x, y: jnp.ndarray, y_scale: jnp.ndarray, weights=None) -> jnp.ndarray:
+        """Largest lambda on the auto path (family-specific).  With
+        observation weights, inner products and moments are weighted and the
+        divisor is the total weight instead of n."""
         raise NotImplementedError
 
 
@@ -147,10 +149,12 @@ class Gaussian(Family):
     def null_intercept(self, y, fit_intercept, weights=None):
         return _wmean(y, weights)
 
-    def lambda_max(self, x, y, y_scale):
+    def lambda_max(self, x, y, y_scale, weights=None):
         # y here is the standardized response (reference src/families.h:119-126)
-        n = y.shape[0]
-        return y_scale[0] * jnp.max(jnp.abs(_xty(x, y))) / n
+        if weights is None:
+            return y_scale[0] * jnp.max(jnp.abs(_xty(x, y))) / y.shape[0]
+        W = jnp.maximum(jnp.sum(weights), 1e-12)
+        return y_scale[0] * jnp.max(jnp.abs(_xty(x, y * weights.reshape(-1, 1)))) / W
 
 
 class Binomial(Family):
@@ -197,14 +201,19 @@ class Binomial(Family):
             return jnp.zeros((1,), y.dtype)
         return self.link(_wmean(y, weights))
 
-    def lambda_max(self, x, y, y_scale):
+    def lambda_max(self, x, y, y_scale, weights=None):
         # standardize the 0/1 response, then y_std * max|x^T y_map| / n
         # (reference src/families.h:203-220)
-        n = y.shape[0]
-        y_bar = column_mean(y)
-        y_std = column_sd(y, y_bar)
-        y_map = (y - y_bar) / y_std
-        return y_std[0] * jnp.max(jnp.abs(_xty(x, y_map))) / n
+        if weights is None:
+            n = y.shape[0]
+            y_bar = column_mean(y)
+            y_std = column_sd(y, y_bar)
+            y_map = (y - y_bar) / y_std
+            return y_std[0] * jnp.max(jnp.abs(_xty(x, y_map))) / n
+        W = jnp.maximum(jnp.sum(weights), 1e-12)
+        y_bar, y_std = _wstats(y, weights)
+        y_map = (y - y_bar) / y_std * weights.reshape(-1, 1)
+        return y_std[0] * jnp.max(jnp.abs(_xty(x, y_map))) / W
 
 
 class Multinomial(Family):
@@ -248,15 +257,21 @@ class Multinomial(Family):
         log_prop = jnp.log(prop)
         return log_prop - jnp.mean(log_prop)
 
-    def lambda_max(self, x, y, y_scale):
+    def lambda_max(self, x, y, y_scale, weights=None):
         # one-hot indicator standardized per class; per-class inner products
         # rescaled by that class's SD (reference src/families.h:300-325)
-        n = y.shape[0]
-        y_bar = column_mean(y)
-        y_std = column_sd(y, y_bar)
-        y_map = (y - y_bar) / y_std
+        if weights is None:
+            n = y.shape[0]
+            y_bar = column_mean(y)
+            y_std = column_sd(y, y_bar)
+            y_map = (y - y_bar) / y_std
+            inner = _xty(x, y_map) * y_std
+            return jnp.max(jnp.abs(inner)) / n
+        W = jnp.maximum(jnp.sum(weights), 1e-12)
+        y_bar, y_std = _wstats(y, weights)
+        y_map = (y - y_bar) / y_std * weights.reshape(-1, 1)
         inner = _xty(x, y_map) * y_std
-        return jnp.max(jnp.abs(inner)) / n
+        return jnp.max(jnp.abs(inner)) / W
 
 
 class MultivariateGaussian(Family):
@@ -303,15 +318,21 @@ class MultivariateGaussian(Family):
     def null_intercept(self, y, fit_intercept, weights=None):
         return _wmean(y, weights)
 
-    def lambda_max(self, x, y, y_scale):
+    def lambda_max(self, x, y, y_scale, weights=None):
         # per-class standardized inner products, rescaled, then the max
         # per-feature L2 norm over classes (reference src/families.h:387-406)
-        n = y.shape[0]
-        y_bar = column_mean(y)
-        y_std = column_sd(y, y_bar)
-        y_map = (y - y_bar) / y_std
+        if weights is None:
+            n = y.shape[0]
+            y_bar = column_mean(y)
+            y_std = column_sd(y, y_bar)
+            y_map = (y - y_bar) / y_std
+            inner = _xty(x, y_map) * (y_scale * y_std)
+            return jnp.max(jnp.sqrt(jnp.sum(inner**2, axis=1))) / n
+        W = jnp.maximum(jnp.sum(weights), 1e-12)
+        y_bar, y_std = _wstats(y, weights)
+        y_map = (y - y_bar) / y_std * weights.reshape(-1, 1)
         inner = _xty(x, y_map) * (y_scale * y_std)
-        return jnp.max(jnp.sqrt(jnp.sum(inner**2, axis=1))) / n
+        return jnp.max(jnp.sqrt(jnp.sum(inner**2, axis=1))) / W
 
 
 _FAMILIES = {
