@@ -69,18 +69,24 @@ class PaddedCSR:
 
     @classmethod
     def from_scipy(cls, x, dtype=jnp.float32, lane_multiple: int = 8) -> "PaddedCSR":
-        """Build from a scipy CSR/CSC/COO matrix (host-side)."""
+        """Build from a scipy CSR/CSC/COO matrix (host-side; uses the native
+        multithreaded packer from utils/native.py when available)."""
         x = x.tocsr()
         n, p = x.shape
         nnz = np.diff(x.indptr).astype(np.int32)
         L = max(int(nnz.max()) if n else 0, 1)
         L = _round_up(L, lane_multiple)
-        indices = np.zeros((n, L), dtype=np.int32)
-        values = np.zeros((n, L), dtype=np.float64)
-        rows = np.repeat(np.arange(n), nnz)
-        pos = np.arange(len(x.data)) - np.repeat(x.indptr[:-1], nnz)
-        indices[rows, pos] = x.indices
-        values[rows, pos] = x.data
+        if dtype == jnp.float32:
+            from sgdnet_tpu.utils.native import pack_padded
+
+            indices, values, nnz = pack_padded(x, L)
+        else:
+            indices = np.zeros((n, L), dtype=np.int32)
+            values = np.zeros((n, L), dtype=np.float64)
+            rows = np.repeat(np.arange(n), nnz)
+            pos = np.arange(len(x.data)) - np.repeat(x.indptr[:-1], nnz)
+            indices[rows, pos] = x.indices
+            values[rows, pos] = x.data
         return cls(
             indices=jnp.asarray(indices),
             values=jnp.asarray(values, dtype=dtype),
