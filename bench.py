@@ -95,13 +95,18 @@ def bench_sparse_epoch(
     penalty = select_penalty(1.0, "binomial")
     config = SolverConfig(batch_size=batch_size, fit_intercept=True, sparse_mode=sparse_mode, intercept_decay=0.01)
     state = init_state(n_pad, p, 1, jnp.float32)
-    epoch = _make_epoch(x, y, weights, None, jnp.float32(n), family, penalty, config)
 
     lam = 1.0 / n  # the reference benchmark protocol's lambda (BASELINE.md)
     gamma, l1, l2 = jnp.float32(3e-3), jnp.float32(lam), jnp.float32(0.0)
 
-    @jax.jit
-    def run_epochs(state, key):
+    from functools import partial
+
+    # x/y/weights must be jit ARGUMENTS (not closure captures), else they are
+    # embedded as program constants and blow up compilation
+    @partial(jax.jit, static_argnames=("family", "penalty", "config", "epochs"))
+    def run_epochs(x, y, weights, state, key, family, penalty, config, epochs):
+        epoch = _make_epoch(x, y, weights, None, jnp.float32(n), family, penalty, config)
+
         def body(state, i):
             return epoch(state, jax.random.fold_in(key, i), gamma, l1, l2), None
 
@@ -110,12 +115,14 @@ def bench_sparse_epoch(
 
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    state = jax.block_until_ready(run_epochs(state, key))
+    state = jax.block_until_ready(run_epochs(x, y, weights, state, key, family, penalty, config, epochs))
     compile_and_first = time.perf_counter() - t0
     log(f"compile+first run: {compile_and_first:.2f}s")
 
     t0 = time.perf_counter()
-    state = jax.block_until_ready(run_epochs(state, jax.random.fold_in(key, 1)))
+    state = jax.block_until_ready(
+        run_epochs(x, y, weights, state, jax.random.fold_in(key, 1), family, penalty, config, epochs)
+    )
     elapsed = time.perf_counter() - t0
 
     total_nnz = n * nnz_per_row * epochs

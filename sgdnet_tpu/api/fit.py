@@ -50,6 +50,9 @@ class SgdnetFit:
     diagnostics: dict | None = None
     #: everything needed to refit (predict(..., exact=True))
     _refit_args: dict | None = field(default=None, repr=False)
+    #: final solver state — pass as `warm_state=` to resume, or serialize
+    #: with utils.checkpoint.save_state
+    final_state: object = field(default=None, repr=False)
 
     @property
     def n_lambda(self) -> int:
@@ -447,6 +450,7 @@ def fit(
         nobs=n_samples,
         feature_names=list(feature_names) if feature_names is not None else None,
         diagnostics=diagnostics,
+        final_state=state,
     )
     fit_obj._refit_args = dict(
         family=family,
