@@ -170,6 +170,7 @@ def fit(
     sparse_mode: str | None = None,
     feature_names=None,
     mesh=None,
+    use_pallas: bool | None = None,
     hybrid: bool | None = None,
     hybrid_coverage: float = 0.75,
     hybrid_max_head: int = 4096,
@@ -365,6 +366,9 @@ def fit(
         sparse_mode=sparse_mode,
         debug=debug,
         axis_name=None if mesh is None else "data",
+        # the fused Pallas head kernel: on by default on real TPU backends
+        # (interpret-mode emulation elsewhere is only for tests)
+        use_pallas=(jax.default_backend() == "tpu") if use_pallas is None else use_pallas,
     )
 
     key = jax.random.PRNGKey(seed)

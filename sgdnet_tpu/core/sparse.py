@@ -209,26 +209,47 @@ class HybridCSR:
     def split_columns(cls, x_scipy, coverage: float = 0.75, max_head: int = 4096, dtype=jnp.float32):
         """Choose the head = smallest set of most-frequent columns covering
         `coverage` of all nonzeros (capped at max_head); returns
-        (HybridCSR, perm) where perm maps new column index -> original."""
-        import scipy.sparse as sp
+        (HybridCSR, perm) where perm maps new column index -> original.
 
-        x = x_scipy.tocsc()
+        Operates directly on the raw CSR arrays (vectorized numpy) — no
+        scipy fancy indexing or densify of the full matrix.
+        """
+        x = x_scipy.tocsr()
         n, p = x.shape
-        col_nnz = np.diff(x.indptr)
+        col_nnz = np.bincount(x.indices, minlength=p)
         order = np.argsort(-col_nnz, kind="stable")  # hottest first
         covered = np.cumsum(col_nnz[order])
-        total = max(int(covered[-1]) if p else 0, 1)
+        total = max(int(covered[-1]) if len(covered) else 0, 1)
         d = int(np.searchsorted(covered, coverage * total) + 1)
         d = max(min(d, max_head, p), 1)
         d = _round_up(d, 128) if d < p else p
         d = min(d, p)
         perm = np.concatenate([order[:d], np.sort(order[d:])]).astype(np.int64)
-        x_perm = x[:, perm].tocsr()
-        head = np.asarray(x_perm[:, :d].todense())
-        tail_sp = sp.csr_matrix(x_perm[:, d:])
-        # tail keeps logical columns [d, p): shift indices up
-        tail = PaddedCSR.from_scipy(tail_sp, dtype=dtype)
-        tail = PaddedCSR(tail.indices + d, tail.values, tail.nnz, n, p)
+        new_col = np.empty(p, dtype=np.int64)
+        new_col[perm] = np.arange(p)
+
+        mapped = new_col[x.indices]  # new column index per nonzero
+        row_of = np.repeat(np.arange(n), np.diff(x.indptr))
+        is_head = mapped < d
+
+        head = np.zeros((n, d), dtype=np.float32 if dtype == jnp.float32 else np.float64)
+        head[row_of[is_head], mapped[is_head]] = x.data[is_head]
+
+        # pack the tail entries into the padded layout directly
+        t_rows = row_of[~is_head]
+        t_cols = mapped[~is_head].astype(np.int32)
+        t_vals = x.data[~is_head]
+        t_nnz = np.bincount(t_rows, minlength=n).astype(np.int32)
+        L = _round_up(max(int(t_nnz.max()) if n else 0, 1), 8)
+        # position within row: running index among this row's tail entries
+        pos = np.arange(len(t_rows)) - np.repeat(
+            np.concatenate([[0], np.cumsum(t_nnz)[:-1]]), t_nnz
+        )
+        ti = np.zeros((n, L), np.int32)
+        tv = np.zeros((n, L), np.float64)
+        ti[t_rows, pos] = t_cols
+        tv[t_rows, pos] = t_vals
+        tail = PaddedCSR(jnp.asarray(ti), jnp.asarray(tv, dtype=dtype), jnp.asarray(t_nnz), n, p)
         return cls(jnp.asarray(head, dtype), tail, n, p), perm
 
     def column_stats(self):

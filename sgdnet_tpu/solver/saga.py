@@ -92,6 +92,10 @@ class SolverConfig:
     #: x / y / weights / g_mem are sharded over this axis, w / g_sum are
     #: replicated, and batch statistics are psum-reduced (see parallel/dist.py)
     axis_name: str | None = None
+    #: use the fused Pallas head-step kernel (solver/pallas_kernels.py) for
+    #: the dense / hybrid-head part of each step (float32 only; shapes must
+    #: be supported — gated automatically in _make_step)
+    use_pallas: bool = False
 
 
 def _psum(v, config: SolverConfig):
@@ -207,7 +211,54 @@ def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, config: Solve
 def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, config: SolverConfig):
     B = config.batch_size
 
-    def step(state: SagaState, carry_scalars, idx):
+    # fused Pallas head kernel: only for f32 dense/hybrid with supported tiles
+    use_pallas = False
+    if config.use_pallas and not isinstance(x, PaddedCSR):
+        from sgdnet_tpu.solver.pallas_kernels import supported
+
+        head = x.head if isinstance(x, HybridCSR) else x
+        if head.dtype == jnp.float32 and supported(B, head.shape[1], family.n_classes):
+            use_pallas = True
+            pallas_interpret = jax.default_backend() != "tpu"
+
+    def step_pallas(state: SagaState, carry_scalars, idx):
+        from sgdnet_tpu.solver.pallas_kernels import fused_head_step
+
+        gamma, l1, l2 = carry_scalars
+        yb = y[idx]
+        wb = weights[idx]
+        g_mem_b = state.g_mem[idx]
+
+        if isinstance(x, HybridCSR):
+            d = x.n_head
+            xb = x.head[idx]
+            lp_extra = _csr_batch_predict(x.tail, state.w, idx)
+            w_head = state.w[:, :d]
+        else:
+            d = x.shape[1]
+            xb = x[idx]
+            lp_extra = jnp.zeros((B, family.n_classes), x.dtype)
+            w_head = state.w
+        lp_extra = lp_extra + state.intercept
+        if xc is not None:
+            lp_extra = lp_extra - jnp.dot(state.w, xc.astype(state.w.dtype))
+
+        g, corr_head = fused_head_step(
+            xb, w_head, lp_extra, yb, g_mem_b, wb, family.name, interpret=pallas_interpret
+        )
+        g_change = g - g_mem_b
+        g_mem = state.g_mem.at[idx].set(g)
+
+        if isinstance(x, HybridCSR):
+            corr = _csr_batch_outer(x.tail, g_change, idx)
+            corr = corr.at[:, :d].add(corr_head)
+            if xc is not None:  # xc is zero on head columns
+                corr = corr - jnp.outer(jnp.sum(g_change, axis=0), xc.astype(corr.dtype))
+        else:
+            corr = corr_head
+        return _finish_step(state, gamma, l1, l2, wb, g_change, g_mem, corr)
+
+    def step_xla(state: SagaState, carry_scalars, idx):
         gamma, l1, l2 = carry_scalars
         yb = y[idx]
         wb = weights[idx]
@@ -217,12 +268,16 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
         g_change = g - state.g_mem[idx]  # (B, k)
         g_mem = state.g_mem.at[idx].set(g)
 
+        corr = _batch_outer(x, xc, g_change, idx, config.sparse_mode)
+        return _finish_step(state, gamma, l1, l2, wb, g_change, g_mem, corr)
+
+    def _finish_step(state, gamma, l1, l2, wb, g_change, g_mem, corr):
         bw = jnp.maximum(_psum(jnp.sum(wb), config), 1e-12)
         sum_gc = _psum(jnp.sum(g_change, axis=0), config)  # (k,)
 
         # (k, p); under data-parallel execution this psum is the single
         # collective per step — the rank-B update rides ICI once per batch
-        corr = _psum(_batch_outer(x, xc, g_change, idx, config.sparse_mode), config)
+        corr = _psum(corr, config)
         grad_est = corr / bw + state.g_sum
         w_half = state.w * (1.0 - gamma * l2) - gamma * grad_est
         w_new = penalty.prox(w_half, gamma * l1)
@@ -241,7 +296,7 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
 
         return SagaState(w_new, intercept, g_mem, g_sum, g_sum_i)
 
-    return step
+    return step_pallas if use_pallas else step_xla
 
 
 def _refresh_g_sum(x, xc, weights, w_total, state: SagaState, config: SolverConfig) -> SagaState:

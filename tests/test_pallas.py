@@ -1,0 +1,68 @@
+"""Fused Pallas head-step kernel tests (solver/pallas_kernels.py).
+
+On CPU the kernel runs in interpret mode — numerically identical code path
+to the TPU compile, exercised against the plain-XLA solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgdnet_tpu.solver.pallas_kernels import fused_head_step, supported
+from tests.helpers import random_data
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+@pytest.mark.parametrize(
+    "family,k",
+    [("gaussian", 1), ("binomial", 1), ("multinomial", 3), ("mgaussian", 2)],
+)
+def test_kernel_matches_reference(family, k):
+    rng = np.random.default_rng(0)
+    B, D = 128, 256
+    xb = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, D)).astype(np.float32))
+    lpe = jnp.asarray(rng.normal(size=(B, k)).astype(np.float32))
+    if family == "binomial":
+        yb = jnp.asarray((rng.random((B, k)) < 0.5).astype(np.float32))
+    elif family == "multinomial":
+        yb = jnp.asarray(np.eye(k, dtype=np.float32)[rng.integers(0, k, B)])
+    else:
+        yb = jnp.asarray(rng.normal(size=(B, k)).astype(np.float32))
+    gm = jnp.asarray(rng.normal(size=(B, k)).astype(np.float32))
+    wb = jnp.asarray((rng.random(B) < 0.9).astype(np.float32))
+
+    assert supported(B, D, k)
+    g, corr = fused_head_step(xb, w, lpe, yb, gm, wb, family, interpret=INTERPRET)
+
+    lp = xb @ w.T + lpe
+    if family in ("gaussian", "mgaussian"):
+        gr = lp - yb
+    elif family == "binomial":
+        gr = jax.nn.sigmoid(lp) - yb
+    else:
+        gr = jax.nn.softmax(lp, axis=1) - yb
+    g_ref = gr * wb[:, None]
+    corr_ref = (g_ref - gm).T @ xb
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(corr), np.asarray(corr_ref), atol=2e-3)
+
+
+def test_fit_with_pallas_matches_xla():
+    """End-to-end: a fit with the fused kernel reproduces the XLA fit."""
+    import sgdnet_tpu as st
+
+    x, y = random_data(n=256, p=16, family="binomial", seed=1)
+    common = dict(family="binomial", nlambda=4, thresh=1e-5, maxit=300, batch_size=64)
+    f_xla = st.fit(x, y, use_pallas=False, **common)
+    f_pal = st.fit(x, y, use_pallas=True, lambda_path=f_xla.lambda_, **common)
+    np.testing.assert_allclose(f_pal.beta, f_xla.beta, atol=1e-4)
+    np.testing.assert_allclose(f_pal.a0, f_xla.a0, atol=1e-4)
+
+
+def test_unsupported_shapes_fall_back():
+    from sgdnet_tpu.solver.pallas_kernels import supported as sup
+
+    assert not sup(100, 64, 1)  # batch not divisible by a tile size
+    assert not sup(256, 64, 200)  # too many classes
