@@ -74,7 +74,14 @@ def to_hybrid(x, max_head=4096, coverage=0.9):
 
 
 def bench_sparse_epoch(
-    n=100_000, p=47_000, nnz_per_row=76, batch_size=1024, epochs=5, sparse_mode="gather", hybrid=False
+    n=100_000,
+    p=47_000,
+    nnz_per_row=76,
+    batch_size=1024,
+    epochs=5,
+    sparse_mode="gather",
+    hybrid=False,
+    use_pallas=False,
 ):
     import jax
     import jax.numpy as jnp
@@ -93,7 +100,13 @@ def bench_sparse_epoch(
 
     family = get_family("binomial")
     penalty = select_penalty(1.0, "binomial")
-    config = SolverConfig(batch_size=batch_size, fit_intercept=True, sparse_mode=sparse_mode, intercept_decay=0.01)
+    config = SolverConfig(
+        batch_size=batch_size,
+        fit_intercept=True,
+        sparse_mode=sparse_mode,
+        intercept_decay=0.01,
+        use_pallas=use_pallas,
+    )
     state = init_state(n_pad, p, 1, jnp.float32)
 
     lam = 1.0 / n  # the reference benchmark protocol's lambda (BASELINE.md)
@@ -129,8 +142,8 @@ def bench_sparse_epoch(
     nnz_per_s = total_nnz / elapsed
     log(
         f"sparse epoch bench: n={n} p={p} nnz/row={nnz_per_row} B={batch_size} "
-        f"mode={'hybrid' if hybrid else sparse_mode}: {epochs} epochs in {elapsed:.3f}s "
-        f"-> {nnz_per_s:.3e} nnz/s"
+        f"mode={'hybrid' if hybrid else sparse_mode}{'+pallas' if use_pallas else ''}: "
+        f"{epochs} epochs in {elapsed:.3f}s -> {nnz_per_s:.3e} nnz/s"
     )
     return nnz_per_s
 
@@ -142,9 +155,10 @@ def main():
     best = 0.0
     # modest sweep over batch size / strategy; report the best steady-state
     for kwargs in (
-        dict(batch_size=4096, hybrid=True),
         dict(batch_size=8192, hybrid=True),
-        dict(batch_size=4096, sparse_mode="gather"),
+        dict(batch_size=16384, hybrid=True),
+        dict(batch_size=32768, hybrid=True),
+        dict(batch_size=16384, hybrid=True, use_pallas=True),
     ):
         try:
             v = bench_sparse_epoch(**kwargs)

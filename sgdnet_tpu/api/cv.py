@@ -65,6 +65,30 @@ class CvFit:
 
         return plot_cv(self, **kwargs)
 
+    def summary(self) -> str:
+        """Text summary (reference R/print.cv_sgdnet.R:44-54)."""
+        lines = [
+            f"Cross-validation ({self.name})",
+            f"  alpha_min:  {self.alpha_min:g}",
+            f"  lambda_min: {self.lambda_min:.6g}",
+            f"  lambda_1se: {self.lambda_1se:.6g}",
+            "",
+            "  alpha    lambda      mean        sd",
+        ]
+        s = self.cv_summary
+        for i in range(len(s["lambda"])):
+            lines.append(
+                f"  {s['alpha'][i]:<6g} {s['lambda'][i]:<10.4g} "
+                f"{s['mean'][i]:<10.5g} {s['sd'][i]:<10.5g}"
+            )
+        return "\n".join(lines)
+
+    def __repr__(self):
+        return (
+            f"CvFit(name={self.name!r}, alpha_min={self.alpha_min}, "
+            f"lambda_min={self.lambda_min:.6g}, lambda_1se={self.lambda_1se:.6g})"
+        )
+
 
 _MEASURE_NAMES = {
     "deviance": {

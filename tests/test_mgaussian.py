@@ -71,3 +71,33 @@ def test_errors():
     x, y = random_data(n=30, p=3, seed=5)
     with pytest.raises(ValueError, match="one-dimensional"):
         st.fit(x, y, family="mgaussian")
+
+
+def test_against_sklearn_multitask_elastic_net():
+    """Our mgaussian group-lasso objective matches sklearn's
+    MultiTaskElasticNet (L21 + L2 mixed penalty) with alpha_sk = lambda,
+    l1_ratio = mix, on the standardized problem."""
+    from sklearn.linear_model import MultiTaskElasticNet
+
+    from tests.helpers import pop_sd
+
+    rng = np.random.default_rng(7)
+    n, p, m = 300, 6, 3
+    x = rng.normal(size=(n, p))
+    w_true = rng.normal(size=(p, m)) * (rng.random((p, 1)) < 0.6)
+    y = x @ w_true + 0.3 * rng.normal(size=(n, m))
+    lam, mix = 0.05, 0.7
+
+    fit = st.fit(
+        x, y, family="mgaussian", alpha=mix, lambda_path=[lam],
+        thresh=1e-7, maxit=5000, dtype=np.float64,
+    )
+
+    xc, xs = x.mean(0), pop_sd(x)
+    xt = (x - xc) / xs
+    sk = MultiTaskElasticNet(alpha=lam, l1_ratio=mix, tol=1e-12, max_iter=100000)
+    sk.fit(xt, y)
+    beta_o = sk.coef_ / xs  # (m, p)
+    a0_o = sk.intercept_ - beta_o @ xc
+    np.testing.assert_allclose(fit.beta[0], beta_o, atol=2e-3)
+    np.testing.assert_allclose(fit.a0[0], a0_o, atol=2e-3)

@@ -72,3 +72,12 @@ def test_score_at_interpolated_lambda():
     lo = min(fit.score(x, y, "mse", s=fit.lambda_[3])[0], fit.score(x, y, "mse", s=fit.lambda_[4])[0])
     hi = max(fit.score(x, y, "mse", s=fit.lambda_[3])[0], fit.score(x, y, "mse", s=fit.lambda_[4])[0])
     assert lo - 1e-9 <= val[0] <= hi + 0.01
+
+
+def test_auc_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(9)
+    y = (rng.random(300) < 0.4).astype(int)
+    prob = np.clip(0.4 * y + 0.3 * rng.random(300) + 0.2, 0, 1)
+    assert auc(y, prob) == pytest.approx(roc_auc_score(y, prob), abs=1e-10)
