@@ -33,33 +33,63 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_TILE_ELEMS = 1 << 20
 
 
-def _gradient(family_name: str, lp, yb):
+def _gradient(family_name: str, lp, yb, k: int):
+    """Family gradient on a class dimension padded to a lane multiple; only
+    the first `k` columns are real (outputs in pad columns are discarded
+    by the caller, but multinomial must exclude them from the softmax)."""
     if family_name in ("gaussian", "mgaussian"):
         return lp - yb
     if family_name == "binomial":
         return 1.0 / (1.0 + jnp.exp(-lp)) - yb
     if family_name == "multinomial":
+        kp = lp.shape[1]
+        mask = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1) < k
+        lp = jnp.where(mask, lp, -1e30)
         m = jnp.max(lp, axis=1, keepdims=True)
         e = jnp.exp(lp - m)
         return e / jnp.sum(e, axis=1, keepdims=True) - yb
     raise ValueError(family_name)
 
 
-def _kernel(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, *, family_name):
+def _kernel(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, acc_ref, *, family_name, k):
+    # corr accumulates in a VMEM scratch that persists across the
+    # (sequential) grid and is flushed once at the last step — Mosaic does
+    # not accept read-modify-write on a revisited output block
     i = pl.program_id(0)
+    n = pl.num_programs(0)
 
     xb = xb_ref[:]  # (Bt, D) — read once, used by both matmuls
-    lp = jnp.dot(xb, w_ref[:].T, preferred_element_type=jnp.float32) + lpe_ref[:]
-    g = _gradient(family_name, lp, y_ref[:]) * wb_ref[:]
+    # HIGHEST: true-f32 MXU passes — default bf16 precision loses ~1e-2 on
+    # large logits, visibly shifting sigmoids/softmaxes
+    lp = (
+        jnp.dot(
+            xb,
+            w_ref[:].T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + lpe_ref[:]
+    )
+    g = _gradient(family_name, lp, y_ref[:], k) * wb_ref[:]
     gc = g - gm_ref[:]
 
     g_out[:] = g
 
+    tile_corr = jnp.dot(
+        gc.T, xb, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+
     @pl.when(i == 0)
     def _():
-        corr_out[:] = jnp.zeros_like(corr_out)
+        acc_ref[:] = tile_corr
 
-    corr_out[:] += jnp.dot(gc.T, xb, preferred_element_type=jnp.float32)
+    @pl.when(i > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + tile_corr
+
+    @pl.when(i == n - 1)
+    def _():
+        corr_out[:] = acc_ref[:]
 
 
 def supported(B: int, D: int, k: int) -> bool:
@@ -89,28 +119,40 @@ def fused_head_step(xb, w_h, lp_extra, yb, g_mem_b, wb, family_name: str, interp
     assert bt is not None, "unsupported shapes for fused_head_step"
     n_tiles = B // bt
 
+    # pad the class dimension to a lane-friendly multiple of 8 — Mosaic
+    # rejects k=1 matvec reductions with vector accumulators; pad garbage
+    # never escapes (outputs sliced, multinomial softmax masks pads)
+    kp = max(8, ((k + 7) // 8) * 8)
+    if kp != k:
+        pad = [(0, 0), (0, kp - k)]
+        w_h = jnp.pad(w_h, [(0, kp - k), (0, 0)])
+        lp_extra = jnp.pad(lp_extra, pad)
+        yb = jnp.pad(yb, pad)
+        g_mem_b = jnp.pad(g_mem_b, pad)
+
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bt, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((kp, D), jnp.float32)],
     )
     g, corr = pl.pallas_call(
-        functools.partial(_kernel, family_name=family_name),
+        functools.partial(_kernel, family_name=family_name, k=k),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, k), xb.dtype),
-            jax.ShapeDtypeStruct((k, D), xb.dtype),
+            jax.ShapeDtypeStruct((B, kp), xb.dtype),
+            jax.ShapeDtypeStruct((kp, D), xb.dtype),
         ],
         interpret=interpret,
     )(xb, w_h, lp_extra, yb, g_mem_b, wb.reshape(B, 1))
-    return g, corr
+    return g[:, :k], corr[:k]

@@ -96,6 +96,12 @@ class SolverConfig:
     #: the dense / hybrid-head part of each step (float32 only; shapes must
     #: be supported — gated automatically in _make_step)
     use_pallas: bool = False
+    #: unroll factor for the per-epoch scan over batches (amortizes fixed
+    #: per-step costs at the price of compile time)
+    scan_unroll: int = 1
+    #: matmul precision: "highest" = true-f32 MXU passes (default; TPU's
+    #: default bf16 precision loses ~1e-2 on large logits), "default" = fast
+    matmul_precision: str = "highest"
 
 
 def _psum(v, config: SolverConfig):
@@ -331,7 +337,7 @@ def _make_epoch(x, y, weights, xc, w_total, family, penalty, config: SolverConfi
         def body(state, idx):
             return step(state, (gamma, l1, l2), idx), None
 
-        state, _ = jax.lax.scan(body, state, perm)
+        state, _ = jax.lax.scan(body, state, perm, unroll=config.scan_unroll)
         if config.g_sum_refresh:
             state = _refresh_g_sum(x, xc, weights, w_total, state, config)
         return state
@@ -377,6 +383,13 @@ def fit_path(
     while_loop until the relative-change convergence criterion
     max|dw| / max|w| <= tol (reference src/utils.h:240-262) or max_iter.
     """
+    with jax.default_matmul_precision(config.matmul_precision):
+        return _fit_path_impl(
+            x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config
+        )
+
+
+def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config):
     w_total = jnp.maximum(_psum(jnp.sum(weights), config), 1e-12)
     epoch_fn = _make_epoch(x, y, weights, xc, w_total, family, penalty, config)
     max_iter = config.max_iter
