@@ -53,6 +53,9 @@ class SgdnetFit:
     #: final solver state — pass as `warm_state=` to resume, or serialize
     #: with utils.checkpoint.save_state
     final_state: object = field(default=None, repr=False)
+    #: throughput counters: wall_time_s, nnz (design-matrix nonzeros),
+    #: nnz_per_s (north-star metric, BASELINE.md), epochs
+    stats: dict | None = field(default=None, repr=False)
 
     @property
     def n_lambda(self) -> int:
@@ -371,6 +374,9 @@ def fit(
         use_pallas=(jax.default_backend() == "tpu") if use_pallas is None else use_pallas,
     )
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
     key = jax.random.PRNGKey(seed)
     path_args = (
         jnp.asarray(gammas, dtype),
@@ -399,6 +405,18 @@ def fit(
 
     # ---- rescale to original units (reference src/utils.h:352-378) ----
     w_path = np.asarray(results.w, dtype=np.float64)  # (nl, k, p)
+    _wall = _time.perf_counter() - _t0
+    if isinstance(x, (PaddedCSR, HybridCSR)):
+        _nnz_per_epoch = x.total_nnz()
+    else:
+        _nnz_per_epoch = n_pad * n_features
+    _epochs = int(n_iter)
+    _stats = {
+        "wall_time_s": _wall,
+        "epochs": _epochs,
+        "nnz": _nnz_per_epoch * max(_epochs, 1),
+        "nnz_per_s": _nnz_per_epoch * max(_epochs, 1) / max(_wall, 1e-9),
+    }
     b_path = np.asarray(results.intercept, dtype=np.float64)  # (nl, k)
     x_scale_np = np.asarray(x_scale)
     x_center_np = np.asarray(x_center)
@@ -455,6 +473,7 @@ def fit(
         feature_names=list(feature_names) if feature_names is not None else None,
         diagnostics=diagnostics,
         final_state=state,
+        stats=_stats,
     )
     fit_obj._refit_args = dict(
         family=family,

@@ -80,3 +80,23 @@ def test_parallel_cv_binomial_class():
         dtype=np.float64, parallel=True, cv_mesh=fold_mesh,
     )
     assert np.isfinite(cv.cv_summary["mean"]).all()
+
+
+@requires_multi
+def test_hybrid_sharded():
+    """Hybrid head/tail layout under the data mesh."""
+    rng = np.random.default_rng(20)
+    n, p = 512, 640
+    cols = (p * rng.random((n, 12)) ** 3).astype(int) % p
+    x = np.zeros((n, p))
+    for i in range(n):
+        x[i, cols[i]] = rng.normal(size=12)
+    y = x[:, 0] - x[:, 1] + 0.1 * rng.normal(size=n)
+    mesh = make_mesh(4)
+    common = dict(nlambda=5, thresh=1e-6, maxit=1500, dtype=np.float64)
+    f_single = st.fit(sp.csr_matrix(x), y, batch_size=32, **common)
+    f_shard = st.fit(
+        sp.csr_matrix(x), y, batch_size=8, mesh=mesh, lambda_path=f_single.lambda_, **common
+    )
+    scale = max(1.0, np.abs(f_single.beta).max())
+    np.testing.assert_allclose(f_shard.beta, f_single.beta, atol=2e-3 * scale)
