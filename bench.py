@@ -148,10 +148,56 @@ def bench_sparse_epoch(
     return nnz_per_s
 
 
+def bench_dense_multinomial(n=65536, p=784, k=10, batch_size=4096, epochs=3):
+    """Secondary: dense multinomial epoch throughput (MXU-bound path)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from sgdnet_tpu.families import get_family
+    from sgdnet_tpu.penalties import select_penalty
+    from sgdnet_tpu.solver.saga import SolverConfig, _make_epoch, init_state
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, p)).astype(np.float32)
+    y = np.eye(k, dtype=np.float32)[rng.integers(0, k, n)]
+    weights = jnp.ones((n,), jnp.float32)
+
+    family = get_family("multinomial", n_classes=k)
+    penalty = select_penalty(1.0, "multinomial")
+    config = SolverConfig(batch_size=batch_size, fit_intercept=True)
+    state = init_state(n, p, k, jnp.float32)
+
+    @partial(jax.jit, static_argnames=("family", "penalty", "config", "epochs"))
+    def run(x, y, weights, state, key, family, penalty, config, epochs):
+        epoch = _make_epoch(x, y, weights, None, jnp.float32(n), family, penalty, config)
+
+        def body(state, i):
+            return epoch(state, jax.random.fold_in(key, i), jnp.float32(1e-3), jnp.float32(1e-4), jnp.float32(0.0)), None
+
+        return jax.lax.scan(body, state, jnp.arange(epochs))[0]
+
+    args = (jnp.asarray(x), jnp.asarray(y), weights, state, jax.random.PRNGKey(0), family, penalty, config, epochs)
+    state = jax.block_until_ready(run(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(*args))
+    dt = time.perf_counter() - t0
+    flops = 4 * n * p * k * epochs  # fwd + bwd matmuls, 2 flops/MAC
+    log(
+        f"dense multinomial bench: n={n} p={p} k={k} B={batch_size}: {epochs} epochs "
+        f"in {dt:.3f}s -> {n * epochs / dt:.3e} samples/s, {flops / dt / 1e12:.2f} TFLOP/s"
+    )
+    return n * epochs / dt
+
+
 def main():
     import jax
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    try:
+        bench_dense_multinomial()
+    except Exception as e:  # noqa: BLE001
+        log(f"dense multinomial bench failed: {e}")
     best = 0.0
     # modest sweep over batch size / strategy; report the best steady-state
     for kwargs in (
