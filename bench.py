@@ -34,8 +34,9 @@ def make_sparse_binomial(n=100_000, p=47_000, nnz_per_row=76, seed=0, dtype=np.f
     from sgdnet_tpu.core.sparse import PaddedCSR
 
     rng = np.random.default_rng(seed)
-    # Zipf-ish column popularity ~ 1/(rank + 50)
-    weights = 1.0 / (np.arange(p) + 50.0)
+    # Zipf column popularity ~ (rank + 10)^-1.15 — bag-of-words-like skew
+    # (real rcv1: a few thousand hot features carry most term occurrences)
+    weights = (np.arange(p) + 10.0) ** -1.15
     cdf = np.cumsum(weights) / weights.sum()
     cols = np.searchsorted(cdf, rng.random((n, nnz_per_row))).astype(np.int32).clip(0, p - 1)
     vals = rng.normal(size=(n, nnz_per_row)).astype(dtype)
@@ -82,6 +83,9 @@ def bench_sparse_epoch(
     sparse_mode="gather",
     hybrid=False,
     use_pallas=False,
+    scan_unroll=1,
+    max_head=4096,
+    coverage=0.9,
 ):
     import jax
     import jax.numpy as jnp
@@ -92,7 +96,7 @@ def bench_sparse_epoch(
 
     x, y = make_sparse_binomial(n, p, nnz_per_row)
     if hybrid:
-        x, _ = to_hybrid(x)
+        x, _ = to_hybrid(x, max_head=max_head, coverage=coverage)
     n_pad = ((n + batch_size - 1) // batch_size) * batch_size
     x = x.pad_rows(n_pad)
     y = jnp.concatenate([jnp.asarray(y), jnp.zeros((n_pad - n, 1), jnp.float32)])
@@ -106,6 +110,7 @@ def bench_sparse_epoch(
         sparse_mode=sparse_mode,
         intercept_decay=0.01,
         use_pallas=use_pallas,
+        scan_unroll=scan_unroll,
     )
     state = init_state(n_pad, p, 1, jnp.float32)
 
@@ -201,10 +206,10 @@ def main():
     best = 0.0
     # modest sweep over batch size / strategy; report the best steady-state
     for kwargs in (
-        dict(batch_size=8192, hybrid=True),
         dict(batch_size=16384, hybrid=True),
-        dict(batch_size=32768, hybrid=True),
+        dict(batch_size=16384, hybrid=True, max_head=8192, coverage=0.95),
         dict(batch_size=16384, hybrid=True, use_pallas=True),
+        dict(batch_size=16384, hybrid=True, scan_unroll=4),
     ):
         try:
             v = bench_sparse_epoch(**kwargs)
