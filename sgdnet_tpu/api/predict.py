@@ -119,22 +119,30 @@ def predict(
     if newx is None:
         raise ValueError(f"you need to supply a value for 'newx' for type = '{type}'")
 
+    sparse_newx = False
     if isinstance(newx, PaddedCSR):
         newx = np.asarray(newx.to_dense())
     else:
         try:
             import scipy.sparse as sp
 
-            if sp.issparse(newx):
-                newx = newx.toarray()
+            sparse_newx = sp.issparse(newx)
         except ImportError:
             pass
-        newx = np.asarray(newx, dtype=np.float64)
-    if newx.ndim == 1:
-        newx = newx.reshape(1, -1)
+        if not sparse_newx:
+            newx = np.asarray(newx, dtype=np.float64)
+            if newx.ndim == 1:
+                newx = newx.reshape(1, -1)
 
     # (n_new, k, n_s)
-    lp = np.einsum("nj,lkj->nkl", newx, beta) + a0_2d.T[None, :, :]
+    if sparse_newx:
+        n_new = newx.shape[0]
+        lp = np.empty((n_new, k, n_s))
+        for kk in range(k):  # sparse matmul per class, no densify
+            lp[:, kk, :] = np.asarray(newx @ beta[:, kk, :].T)
+        lp = lp + a0_2d.T[None, :, :]
+    else:
+        lp = np.einsum("nj,lkj->nkl", newx, beta) + a0_2d.T[None, :, :]
 
     if family == "gaussian":
         out = lp[:, 0, :]
