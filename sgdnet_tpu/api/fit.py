@@ -369,9 +369,10 @@ def fit(
         sparse_mode=sparse_mode,
         debug=debug,
         axis_name=None if mesh is None else "data",
-        # the fused Pallas head kernel: on by default on real TPU backends
-        # (interpret-mode emulation elsewhere is only for tests)
-        use_pallas=(jax.default_backend() == "tpu") if use_pallas is None else use_pallas,
+        # fused Pallas head kernel: opt-in. Measured on v5e, XLA's own
+        # scheduling of the head matmul pair beats the kernel at the tile
+        # sizes Mosaic's vmem budget allows, so the default stays False.
+        use_pallas=False if use_pallas is None else use_pallas,
     )
 
     import time as _time

@@ -29,8 +29,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: largest (Bt * D) f32 tile we allow in VMEM (4 MB), conservative
-_MAX_TILE_ELEMS = 1 << 20
+#: largest (Bt * D) f32 tile we allow in VMEM (1 MB — Mosaic double-buffers
+#: input blocks and keeps outputs + scratch resident; 4 MB tiles OOM the
+#: 16 MB scoped vmem at D=4096)
+_MAX_TILE_ELEMS = 1 << 18
 
 
 def _gradient(family_name: str, lp, yb, k: int):

@@ -102,6 +102,9 @@ class SolverConfig:
     #: matmul precision: "highest" = true-f32 MXU passes (default; TPU's
     #: default bf16 precision loses ~1e-2 on large logits), "default" = fast
     matmul_precision: str = "highest"
+    #: optimization barrier between steps (debug/experiment knob: prevents
+    #: any cross-step fusion; measured neutral on TPU)
+    step_barrier: bool = False
 
 
 def _psum(v, config: SolverConfig):
@@ -300,7 +303,10 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
             g_sum_i = state.g_sum_intercept
             intercept = state.intercept
 
-        return SagaState(w_new, intercept, g_mem, g_sum, g_sum_i)
+        new_state = SagaState(w_new, intercept, g_mem, g_sum, g_sum_i)
+        if config.step_barrier:
+            new_state = jax.lax.optimization_barrier(new_state)
+        return new_state
 
     return step_pallas if use_pallas else step_xla
 
