@@ -174,6 +174,7 @@ def fit(
     feature_names=None,
     mesh=None,
     use_pallas: bool | None = None,
+    screen: bool = False,
     hybrid: bool | None = None,
     hybrid_coverage: float = 0.75,
     hybrid_max_head: int = 4096,
@@ -390,7 +391,31 @@ def fit(
         penalty,
         config,
     )
-    if mesh is None:
+    if screen:
+        # sequential strong-rule screening with KKT safety checks
+        # (solver/screening.py) — dense, single-device, l1 > 0 paths only
+        if mesh is not None or is_sparse or alpha == 0.0 or debug:
+            raise ValueError(
+                "screen=True requires a dense design matrix, a single device, "
+                "alpha > 0, and debug=False"
+            )
+        from types import SimpleNamespace
+
+        from sgdnet_tpu.solver.screening import screened_path
+
+        w_scr, b_scr, dev_scr, it_scr, codes_scr, n_iter = screened_path(
+            x, y_proc, weights, gammas, l1s, l2s, thresh, key, fam, penalty, config
+        )
+        state = None
+        results = SimpleNamespace(
+            w=w_scr,
+            intercept=b_scr,
+            deviance=dev_scr,
+            n_epochs=it_scr,
+            return_codes=codes_scr,
+            losses=np.zeros((len(l1s), 0)),
+        )
+    elif mesh is None:
         state, n_iter, results = fit_path(x, y_proc, weights, xc, *path_args)
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
