@@ -109,7 +109,9 @@ class SgdnetFit:
         return "\n".join(lines)
 
 
-def _as_design_matrix(x, dtype, hybrid=None, hybrid_coverage=0.75, hybrid_max_head=4096):
+def _as_design_matrix(
+    x, dtype, hybrid=None, hybrid_coverage=0.9, hybrid_max_head=16384, hybrid_memory_budget=2e9
+):
     """Accept numpy/jax dense, scipy sparse, PaddedCSR, or HybridCSR.
 
     scipy input with many columns is converted to the dense-head/sparse-tail
@@ -127,7 +129,11 @@ def _as_design_matrix(x, dtype, hybrid=None, hybrid_coverage=0.75, hybrid_max_he
                 hybrid = p > 512
             if hybrid:
                 xh, perm = HybridCSR.split_columns(
-                    x, coverage=hybrid_coverage, max_head=hybrid_max_head, dtype=dtype
+                    x,
+                    coverage=hybrid_coverage,
+                    max_head=hybrid_max_head,
+                    dtype=dtype,
+                    memory_budget=hybrid_memory_budget,
                 )
                 return xh, True, perm
             return PaddedCSR.from_scipy(x, dtype=dtype), True, None
@@ -176,8 +182,9 @@ def fit(
     use_pallas: bool | None = None,
     screen: bool = False,
     hybrid: bool | None = None,
-    hybrid_coverage: float = 0.75,
-    hybrid_max_head: int = 4096,
+    hybrid_coverage: float = 0.9,
+    hybrid_max_head: int = 16384,
+    hybrid_memory_budget: float = 2e9,
 ) -> SgdnetFit:
     """Fit an elastic-net regularized GLM path with batched SAGA.
 
@@ -206,7 +213,12 @@ def fit(
         raise ValueError("maximum number of iterations cannot be negative or zero.")
 
     x, is_sparse, col_perm = _as_design_matrix(
-        x, dtype, hybrid=hybrid, hybrid_coverage=hybrid_coverage, hybrid_max_head=hybrid_max_head
+        x,
+        dtype,
+        hybrid=hybrid,
+        hybrid_coverage=hybrid_coverage,
+        hybrid_max_head=hybrid_max_head,
+        hybrid_memory_budget=hybrid_memory_budget,
     )
     n_samples, n_features = x.shape
     if n_samples == 0:

@@ -206,7 +206,14 @@ class HybridCSR:
         return self.head.shape[1]
 
     @classmethod
-    def split_columns(cls, x_scipy, coverage: float = 0.75, max_head: int = 4096, dtype=jnp.float32):
+    def split_columns(
+        cls,
+        x_scipy,
+        coverage: float = 0.75,
+        max_head: int = 4096,
+        dtype=jnp.float32,
+        memory_budget: float | None = None,
+    ):
         """Choose the head = smallest set of most-frequent columns covering
         `coverage` of all nonzeros (capped at max_head); returns
         (HybridCSR, perm) where perm maps new column index -> original.
@@ -221,6 +228,9 @@ class HybridCSR:
         covered = np.cumsum(col_nnz[order])
         total = max(int(covered[-1]) if len(covered) else 0, 1)
         d = int(np.searchsorted(covered, coverage * total) + 1)
+        if memory_budget is not None:  # cap head bytes: n * D * itemsize
+            itemsize = 4 if dtype == jnp.float32 else 8
+            d = min(d, max(int(memory_budget // (n * itemsize)), 1))
         d = max(min(d, max_head, p), 1)
         d = _round_up(d, 128) if d < p else p
         d = min(d, p)
