@@ -525,5 +525,6 @@ def fit(
         batch_size=batch_size,
         dtype=dtype,
         seed=seed,
+        sample_weight=weights_np if sample_weight is not None else None,
     )
     return fit_obj
