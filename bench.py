@@ -223,12 +223,15 @@ def bench_dense_multinomial(n=65536, p=784, k=10, batch_size=4096, epochs=3):
     state = jax.block_until_ready(
         run(xd, yd, weights, state, key, family, penalty, config, epochs)
     )
-    t0 = time.perf_counter()
-    # different key: the execution relay caches identical (program, args) runs
-    jax.block_until_ready(
-        run(xd, yd, weights, state, jax.random.fold_in(key, 1), family, penalty, config, epochs)
-    )
-    dt = time.perf_counter() - t0
+    # best-of-3 with distinct keys: the relay caches identical runs and has
+    # extreme run-to-run variance
+    dt = float("inf")
+    for r in range(1, 4):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            run(xd, yd, weights, state, jax.random.fold_in(key, r), family, penalty, config, epochs)
+        )
+        dt = min(dt, time.perf_counter() - t0)
     flops = 4 * n * p * k * epochs  # fwd + bwd matmuls, 2 flops/MAC
     log(
         f"dense multinomial bench: n={n} p={p} k={k} B={batch_size}: {epochs} epochs "
