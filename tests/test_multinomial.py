@@ -86,3 +86,39 @@ def test_errors():
     x, _ = random_data(n=30, p=3, seed=5)
     with pytest.raises(ValueError, match="binomial"):
         st.fit(x, np.arange(30) % 2, family="multinomial")
+
+
+def test_iris_reference_fit():
+    """Iris multinomial alpha=0.8 (BASELINE.json configs[2]) with an sklearn
+    ridge-limit coefficient check."""
+    from sklearn.datasets import load_iris
+
+    d = load_iris()
+    x, y = d.data, d.target.astype(float)
+    fit = st.fit(x, y, family="multinomial", alpha=0.8, nlambda=20, dtype=np.float64)
+    assert (fit.return_codes == 0).all()
+    assert fit.dev_ratio[-1] > 0.9
+    cls = fit.predict(x, type="class")
+    assert (cls[:, -1].astype(float) == y).mean() > 0.95
+    # coefficient check at an interior lambda against sklearn SAGA elasticnet
+    from sklearn.linear_model import LogisticRegression
+
+    from tests.helpers import pop_sd
+
+    lam = 0.01
+    f1 = st.fit(
+        x, y, family="multinomial", alpha=0.5, lambda_path=[lam],
+        thresh=1e-7, maxit=8000, dtype=np.float64,
+    )
+    xc, xs = x.mean(0), pop_sd(x)
+    lr = LogisticRegression(
+        solver="saga", l1_ratio=0.5, C=1.0 / (len(y) * lam),
+        tol=1e-10, max_iter=200000,
+    )
+    lr.fit((x - xc) / xs, y)
+    beta_o = lr.coef_ / xs
+    a0_o = lr.intercept_ - np.sum(xc * beta_o, axis=1)
+    a0_o = a0_o - a0_o.mean()
+    # sklearn's penalized multinomial is already sum-centered; class order matches
+    np.testing.assert_allclose(f1.beta[0], beta_o, atol=5e-3)
+    np.testing.assert_allclose(f1.a0[0], a0_o, atol=5e-3)
