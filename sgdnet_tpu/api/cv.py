@@ -54,11 +54,11 @@ class CvFit:
     def coef(self, s="lambda_min", **kwargs):
         return self.predict(s=s, type="coefficients", **kwargs)
 
-    def score(self, x, y, type_measure=None, s="lambda_1se"):
+    def score(self, x, y, type_measure=None, s="lambda_1se", offset=None):
         """(reference R/score.R:182-191)"""
         if isinstance(s, str):
             s = getattr(self, s)
-        return score_fn(self.fit, x, y, type_measure or self.type_measure, s=s)
+        return score_fn(self.fit, x, y, type_measure or self.type_measure, s=s, offset=offset)
 
     def plot(self, **kwargs):
         from sgdnet_tpu.api.plot import plot_cv
@@ -126,6 +126,7 @@ def cv_fit(
     seed: int = 0,
     parallel: bool = False,
     cv_mesh=None,
+    offset=None,
     **fit_kwargs,
 ) -> CvFit:
     """Cross-validate elastic-net GLM fits over alpha x lambda.
@@ -157,9 +158,18 @@ def cv_fit(
             )
         lambda_list = [np.asarray(lambda_path, dtype=np.float64)]
 
+    offset_arr = None
+    if offset is not None:
+        if parallel:
+            raise NotImplementedError("parallel CV does not support offsets yet")
+        offset_arr = np.asarray(offset, dtype=np.float64)
+
     # full-data fit per alpha (reference R/cv_sgdnet.R:160-162)
     fits = [
-        fit_fn(x, y, alpha=float(alphas[i]), lambda_path=lambda_list[i], **fit_kwargs)
+        fit_fn(
+            x, y, alpha=float(alphas[i]), lambda_path=lambda_list[i], offset=offset_arr,
+            **fit_kwargs,
+        )
         for i in range(n_alpha)
     ]
     lambda_list = [f.lambda_ for f in fits]
@@ -207,10 +217,14 @@ def cv_fit(
                     x_tr, x_te = x[np.flatnonzero(train)], x[np.flatnonzero(test)]
                 y_arr = np.asarray(y)
                 y_tr, y_te = y_arr[train], y_arr[test]
+                o_tr = o_te = None
+                if offset_arr is not None:
+                    o_tr, o_te = offset_arr[train], offset_arr[test]
                 f = fit_fn(
-                    x_tr, y_tr, alpha=float(alphas[i]), lambda_path=lambda_list[i], **fit_kwargs
+                    x_tr, y_tr, alpha=float(alphas[i]), lambda_path=lambda_list[i],
+                    offset=o_tr, **fit_kwargs,
                 )
-                scores[j] = score_fn(f, x_te, y_te, type_measure, s=lambda_list[i])
+                scores[j] = score_fn(f, x_te, y_te, type_measure, s=lambda_list[i], offset=o_te)
         cv_raw.append(scores)
 
     # summary (reference R/cv_sgdnet.R:204-215, 293-299)

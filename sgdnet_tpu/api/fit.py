@@ -84,10 +84,10 @@ class SgdnetFit:
         (reference R/deviance.sgdnet.R:33-35)."""
         return (1.0 - self.dev_ratio) * self.nulldev
 
-    def score(self, x, y, type_measure="deviance", s=None):
+    def score(self, x, y, type_measure="deviance", s=None, offset=None):
         from sgdnet_tpu.api.score import score
 
-        return score(self, x, y, type_measure=type_measure, s=s)
+        return score(self, x, y, type_measure=type_measure, s=s, offset=offset)
 
     def plot(self, **kwargs):
         from sgdnet_tpu.api.plot import plot_path
@@ -170,6 +170,7 @@ def fit(
     standardize_response: bool = False,
     type_multinomial: str = "ungrouped",
     sample_weight=None,
+    offset=None,
     batch_size: int = 32,
     dtype=jnp.float32,
     seed: int = 0,
@@ -191,10 +192,18 @@ def fit(
     API modeled on the reference's `sgdnet()` (reference R/sgdnet.R:183-199):
     `alpha` is the elastic-net mix, `lambda_path` the optional explicit
     penalty sequence, `thresh` the relative-change convergence tolerance.
-    Extensions over the reference: observation weights (`sample_weight` —
-    documented-but-unimplemented there, R/sgdnet.R:341), grouped multinomial
-    (unreachable from the reference R layer, R/sgdnet.R:265-272),
-    `batch_size`, dtype and PRNG seed control.
+    Extensions over the reference: observation weights (`sample_weight`) and
+    linear-predictor offsets (`offset`) — both documented-but-unimplemented
+    there (R/sgdnet.R:341-342) — grouped multinomial (unreachable from the
+    reference R layer, R/sgdnet.R:265-272), `batch_size`, dtype and PRNG
+    seed control.
+
+    `offset` is a fixed per-sample term added to the linear predictor:
+    shape (n,) for gaussian/binomial, (n, k) for multinomial/mgaussian.
+    Identity-link families absorb it into the response (y - offset), exactly
+    like glmnet; link families carry it through the solver, the null model,
+    the null deviance, and lambda_max.  Predictions from an offset fit
+    require `newoffset`.
 
     With `mesh` (a 1-D `jax.sharding.Mesh` over a 'data' axis) the fit runs
     data-parallel: rows and gradient memory sharded across devices,
@@ -252,6 +261,27 @@ def fit(
     fam = get_family(family, standardize_response=standardize_response)
     y_enc, classnames = fam.encode(y_arr)
     n_classes = fam.n_classes
+
+    # ---- linear-predictor offset (extension; documented-but-unimplemented
+    # in the reference, R/sgdnet.R:341-342) ----
+    offset_arr = None
+    if offset is not None:
+        offset_arr = np.asarray(offset, dtype=np.float64)
+        if offset_arr.ndim == 1:
+            offset_arr = offset_arr.reshape(-1, 1)
+        kk = n_classes if family in ("multinomial", "mgaussian") else 1
+        if offset_arr.shape != (n_samples, kk):
+            want = f"({n_samples},)" if kk == 1 else f"({n_samples}, {kk})"
+            raise ValueError(f"offset must have shape {want} for family '{family}'")
+        if np.isnan(offset_arr).any():
+            raise ValueError("NA values are not allowed.")
+        if family in ("gaussian", "mgaussian"):
+            # identity link: absorb into the response (glmnet does the same)
+            y_enc = y_enc - offset_arr
+            offset_arr_internal = None
+        else:
+            offset_arr_internal = offset_arr
+
     y_dev = jnp.asarray(y_enc, dtype=dtype)
 
     grouped = family == "mgaussian" or (family == "multinomial" and type_multinomial == "grouped")
@@ -290,16 +320,36 @@ def fit(
         x_scale = jnp.ones((n_features,), jnp.float64)
 
     # ---- null deviance on the original response (src/sgdnet.cpp:154) ----
-    nulldev = float(fam.null_deviance(y_dev.astype(jnp.float64), intercept, weights.astype(jnp.float64)))
+    offs_link64 = None
+    if offset_arr is not None and offset_arr_internal is not None:
+        offs_link64 = jnp.asarray(offset_arr_internal)
+    if offs_link64 is not None:
+        nulldev = float(
+            fam.null_deviance_offset(
+                y_dev.astype(jnp.float64), offs_link64, intercept, weights.astype(jnp.float64)
+            )
+        )
+    else:
+        nulldev = float(
+            fam.null_deviance(y_dev.astype(jnp.float64), intercept, weights.astype(jnp.float64))
+        )
 
     # ---- response preprocessing (always, src/sgdnet.cpp:158) ----
     w64 = weights.astype(jnp.float64) if sample_weight is not None else None
     y_proc64, y_center, y_scale = fam.preprocess(y_dev.astype(jnp.float64), w64)
     y_proc = y_proc64.astype(dtype)
+    offs64 = None if offs_link64 is None else offs_link64 / y_scale[None, :]
 
     # ---- lambda path (reference src/utils.h:142-181) ----
     if lambda_path is None:
-        lam_max = float(fam.lambda_max(x, y_proc64, y_scale, w64)) / max(alpha, 0.001)
+        if offs64 is not None:
+            from sgdnet_tpu.families.families import lambda_max_offset
+
+            lam_max = float(
+                lambda_max_offset(fam, x, y_proc64, offs64, y_scale, intercept, w64)
+            ) / max(alpha, 0.001)
+        else:
+            lam_max = float(fam.lambda_max(x, y_proc64, y_scale, w64)) / max(alpha, 0.001)
         if lam_max > 0.0 and np.isfinite(lam_max):
             if lambda_min_ratio is None:
                 lambda_min_ratio = 0.01 if n_samples < n_features else 1e-4
@@ -344,6 +394,7 @@ def fit(
         n_pad = pad_to_shards(n_samples, mesh.devices.size, batch_size)
     else:
         n_pad = ((n_samples + batch_size - 1) // batch_size) * batch_size
+    offs_dev = None if offs64 is None else offs64.astype(dtype)
     if n_pad > n_samples:
         extra = n_pad - n_samples
         if is_sparse:
@@ -352,21 +403,37 @@ def fit(
             x = jnp.concatenate([x, jnp.zeros((extra, n_features), x.dtype)])
         y_proc = jnp.concatenate([y_proc, jnp.zeros((extra, y_proc.shape[1]), y_proc.dtype)])
         weights = jnp.concatenate([weights, jnp.zeros((extra,), weights.dtype)])
+        if offs_dev is not None:
+            offs_dev = jnp.concatenate([offs_dev, jnp.zeros((extra, offs_dev.shape[1]), offs_dev.dtype)])
 
     # ---- solver state (reference src/sgdnet.cpp:187-211) ----
     if warm_state is None:
         state0 = init_state(n_pad, n_features, n_classes, dtype)
         # intercept warm-started at the null model (src/sgdnet.cpp:210)
-        null_int = fam.null_intercept(
-            y_proc.astype(jnp.float64)[:n_pad], intercept, weights.astype(jnp.float64)
-        )
+        if offs_dev is not None:
+            null_int = fam.null_intercept_offset(
+                y_proc.astype(jnp.float64), offs_dev.astype(jnp.float64), intercept,
+                weights.astype(jnp.float64),
+            )
+        else:
+            null_int = fam.null_intercept(
+                y_proc.astype(jnp.float64)[:n_pad], intercept, weights.astype(jnp.float64)
+            )
         state0 = state0._replace(intercept=null_int.astype(dtype))
     else:
         state0 = warm_state
 
-    null_dev_scaled = float(
-        fam.null_deviance(y_proc.astype(jnp.float64), intercept, weights.astype(jnp.float64))
-    )
+    if offs_dev is not None:
+        null_dev_scaled = float(
+            fam.null_deviance_offset(
+                y_proc.astype(jnp.float64), offs_dev.astype(jnp.float64), intercept,
+                weights.astype(jnp.float64),
+            )
+        )
+    else:
+        null_dev_scaled = float(
+            fam.null_deviance(y_proc.astype(jnp.float64), intercept, weights.astype(jnp.float64))
+        )
 
     if intercept_decay is None:
         intercept_decay = 0.01 if is_sparse else 1.0
@@ -406,10 +473,10 @@ def fit(
     if screen:
         # sequential strong-rule screening with KKT safety checks
         # (solver/screening.py) — dense, single-device, l1 > 0 paths only
-        if mesh is not None or is_sparse or alpha == 0.0 or debug:
+        if mesh is not None or is_sparse or alpha == 0.0 or debug or offs_dev is not None:
             raise ValueError(
                 "screen=True requires a dense design matrix, a single device, "
-                "alpha > 0, and debug=False"
+                "alpha > 0, debug=False, and no link-family offset"
             )
         from types import SimpleNamespace
 
@@ -428,18 +495,22 @@ def fit(
             losses=np.zeros((len(l1s), 0)),
         )
     elif mesh is None:
-        state, n_iter, results = fit_path(x, y_proc, weights, xc, *path_args)
+        state, n_iter, results = fit_path(x, y_proc, weights, xc, *path_args, offs=offs_dev)
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from sgdnet_tpu.parallel.dist import fit_path_sharded, shard_inputs
 
         x, y_proc, weights = shard_inputs(mesh, x, y_proc, weights)
+        if offs_dev is not None:
+            offs_dev = jax.device_put(offs_dev, NamedSharding(mesh, P("data", None)))
         state0 = state0._replace(
             g_mem=jax.device_put(state0.g_mem, NamedSharding(mesh, P("data", None)))
         )
         path_args = path_args[:5] + (state0,) + path_args[6:]
-        state, n_iter, results = fit_path_sharded(x, y_proc, weights, xc, *path_args, mesh=mesh)
+        state, n_iter, results = fit_path_sharded(
+            x, y_proc, weights, xc, *path_args, mesh=mesh, offs=offs_dev
+        )
 
     # ---- rescale to original units (reference src/utils.h:352-378) ----
     w_path = np.asarray(results.w, dtype=np.float64)  # (nl, k, p)
@@ -508,6 +579,7 @@ def fit(
         classnames=classnames,
         grouped=grouped,
         nobs=n_samples,
+        offset=offset_arr is not None,
         feature_names=list(feature_names) if feature_names is not None else None,
         diagnostics=diagnostics,
         final_state=state,
@@ -526,5 +598,6 @@ def fit(
         dtype=dtype,
         seed=seed,
         sample_weight=weights_np if sample_weight is not None else None,
+        offset=offset_arr if offset_arr is not None else None,
     )
     return fit_obj

@@ -65,6 +65,7 @@ def predict(
     exact: bool = False,
     x=None,
     y=None,
+    newoffset=None,
     **refit_kwargs,
 ):
     """Predict from an `SgdnetFit`.
@@ -73,6 +74,10 @@ def predict(
     With `s` given, coefficients are linearly interpolated between path
     points unless `exact=True`, in which case the model is refit on a path
     augmented with `s` (requires passing the original `x`, `y`).
+
+    A fit made with an `offset` requires `newoffset` here (one value per row
+    of `newx`, same shape rules as `offset` in `fit`) — glmnet behaves the
+    same way.
     """
     family = fit.family
     valid = {"link", "response", "coefficients", "nonzero"}
@@ -118,6 +123,10 @@ def predict(
 
     if newx is None:
         raise ValueError(f"you need to supply a value for 'newx' for type = '{type}'")
+    if getattr(fit, "offset", False) and newoffset is None:
+        raise ValueError(
+            "the model was fit with an offset; supply 'newoffset' to predict"
+        )
 
     sparse_newx = False
     if isinstance(newx, PaddedCSR):
@@ -143,6 +152,16 @@ def predict(
         lp = lp + a0_2d.T[None, :, :]
     else:
         lp = np.einsum("nj,lkj->nkl", newx, beta) + a0_2d.T[None, :, :]
+
+    if newoffset is not None:
+        no = np.asarray(newoffset, dtype=np.float64)
+        if no.ndim == 1:
+            no = no.reshape(-1, 1)
+        if no.shape[0] != lp.shape[0] or no.shape[1] not in (1, k):
+            raise ValueError(
+                f"newoffset must have shape ({lp.shape[0]},) or ({lp.shape[0]}, {k})"
+            )
+        lp = lp + no[:, :, None]
 
     if family == "gaussian":
         out = lp[:, 0, :]

@@ -70,9 +70,10 @@ def _onehot_from_labels(y, classnames):
     return np.eye(len(names))[codes]
 
 
-def score(fit, x, y, type_measure: str = "deviance", s=None):
+def score(fit, x, y, type_measure: str = "deviance", s=None, offset=None):
     """Score a fit on held-out data; returns one value per lambda in `s`
-    (default: the fit's whole path)."""
+    (default: the fit's whole path).  `offset` is passed to predict as
+    `newoffset` (required when the fit used one)."""
     if s is None:
         s = fit.lambda_
     s = np.atleast_1d(np.asarray(s, dtype=np.float64))
@@ -82,7 +83,7 @@ def score(fit, x, y, type_measure: str = "deviance", s=None):
         if type_measure not in ("deviance", "mse", "mae"):
             raise ValueError(f"type_measure '{type_measure}' not available for gaussian")
         y = np.asarray(y, dtype=np.float64).reshape(-1)
-        y_hat = predict(fit, x, s=s)  # (n, n_s)
+        y_hat = predict(fit, x, s=s, newoffset=offset)  # (n, n_s)
         r = y_hat - y[:, None]
         if type_measure in ("deviance", "mse"):
             return (r**2).mean(axis=0)
@@ -92,7 +93,7 @@ def score(fit, x, y, type_measure: str = "deviance", s=None):
         if type_measure not in ("deviance", "mse", "mae", "class", "auc"):
             raise ValueError(f"type_measure '{type_measure}' not available for binomial")
         yb = _onehot_from_labels(y, fit.classnames)  # (n, 2)
-        y_hat = predict(fit, x, s=s, type="response")  # (n, n_s) P(class 2)
+        y_hat = predict(fit, x, s=s, type="response", newoffset=offset)  # (n, n_s) P(class 2)
         if type_measure == "auc":
             return np.asarray([auc(yb, y_hat[:, i]) for i in range(y_hat.shape[1])])
         if type_measure == "mse":
@@ -109,7 +110,7 @@ def score(fit, x, y, type_measure: str = "deviance", s=None):
         if type_measure not in ("deviance", "mse", "mae", "class"):
             raise ValueError(f"type_measure '{type_measure}' not available for multinomial")
         yk = _onehot_from_labels(y, fit.classnames)  # (n, k)
-        y_hat = predict(fit, x, s=s, type="response")  # (n, k, n_s)
+        y_hat = predict(fit, x, s=s, type="response", newoffset=offset)  # (n, k, n_s)
         yk3 = yk[:, :, None]
         if type_measure == "mse":
             return ((yk3 - y_hat) ** 2).sum(axis=1).mean(axis=0)
@@ -126,7 +127,7 @@ def score(fit, x, y, type_measure: str = "deviance", s=None):
         if type_measure not in ("deviance", "mse", "mae"):
             raise ValueError(f"type_measure '{type_measure}' not available for mgaussian")
         y = np.asarray(y, dtype=np.float64)
-        y_hat = predict(fit, x, s=s)  # (n, k, n_s)
+        y_hat = predict(fit, x, s=s, newoffset=offset)  # (n, k, n_s)
         r = y_hat - y[:, :, None]
         if type_measure in ("deviance", "mse"):
             return (r**2).sum(axis=1).mean(axis=0)

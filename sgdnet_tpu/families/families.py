@@ -20,6 +20,7 @@ All deviances follow the reference convention deviance = 2 * sum(loss)
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,6 +114,48 @@ class Family:
         divisor is the total weight instead of n."""
         raise NotImplementedError
 
+    # ----- offset-aware null model (extension; the reference documents an
+    # `offset` argument but never implements it, R/sgdnet.R:341-342) -----
+    def null_intercept_offset(
+        self, y: jnp.ndarray, offs: jnp.ndarray, fit_intercept: bool, weights=None
+    ) -> jnp.ndarray:
+        """Intercept of the intercept-plus-offset null model; (k,).
+        Identity-link families never reach this (their offset is folded into
+        the response before fitting); link families override."""
+        return self.null_intercept(y, fit_intercept, weights)
+
+    def null_deviance_offset(
+        self, y: jnp.ndarray, offs: jnp.ndarray, fit_intercept: bool, weights=None
+    ) -> jnp.ndarray:
+        """2 * sum(loss) under the intercept-plus-offset null model."""
+        b0 = self.null_intercept_offset(y, offs, fit_intercept, weights)
+        lp0 = b0[None, :] + offs
+        losses = self.loss(lp0, y)
+        if weights is not None:
+            losses = losses * weights
+        return 2.0 * jnp.sum(losses)
+
+
+def lambda_max_offset(fam: Family, x, y: jnp.ndarray, offs: jnp.ndarray, y_scale: jnp.ndarray, fit_intercept: bool, weights=None) -> jnp.ndarray:
+    """Generic lambda_max = max-norm of the null-model gradient.
+
+    Every family-specific `lambda_max` above equals the (weighted) gradient
+    of the loss at the null model — e.g. the binomial formula
+    y_std * max|x^T (y - ybar)/y_std| / n (reference src/families.h:203-220)
+    is exactly max|x^T (sigma(b0) - y)| / n.  With an offset the null model
+    is intercept-plus-offset, so we evaluate that gradient directly."""
+    b0 = fam.null_intercept_offset(y, offs, fit_intercept, weights)
+    g = fam.gradient(b0[None, :] + offs, y)
+    if weights is not None:
+        g = g * weights.reshape(-1, 1)
+        W = jnp.maximum(jnp.sum(weights), 1e-12)
+    else:
+        W = y.shape[0]
+    inner = _xty(x, g) * y_scale[None, :].astype(jnp.float64)
+    if fam.name == "mgaussian":
+        return jnp.max(jnp.sqrt(jnp.sum(inner**2, axis=1))) / W
+    return jnp.max(jnp.abs(inner)) / W
+
 
 class Gaussian(Family):
     """Least-squares (reference src/families.h:64-127).  L = 1.0."""
@@ -201,6 +244,22 @@ class Binomial(Family):
             return jnp.zeros((1,), y.dtype)
         return self.link(_wmean(y, weights))
 
+    def null_intercept_offset(self, y, offs, fit_intercept, weights=None):
+        # damped Newton on the 1-D problem: sum w*(sigma(b + o) - y) = 0
+        if not fit_intercept:
+            return jnp.zeros((1,), y.dtype)
+        w = jnp.ones((y.shape[0], 1), y.dtype) if weights is None else weights.reshape(-1, 1)
+        b = self.link(_wmean(y, weights))
+
+        def body(b, _):
+            p = 1.0 / (1.0 + jnp.exp(-(b[None, :] + offs)))
+            f = jnp.sum(w * (p - y))
+            fp = jnp.maximum(jnp.sum(w * p * (1.0 - p)), 1e-12)
+            return b - f / fp, None
+
+        b, _ = jax.lax.scan(body, b, None, length=50)
+        return b
+
     def lambda_max(self, x, y, y_scale, weights=None):
         # standardize the 0/1 response, then y_std * max|x^T y_map| / n
         # (reference src/families.h:203-220)
@@ -256,6 +315,25 @@ class Multinomial(Family):
             prop = jnp.full((self.n_classes,), 1.0 / self.n_classes, dtype=y.dtype)
         log_prop = jnp.log(prop)
         return log_prop - jnp.mean(log_prop)
+
+    def null_intercept_offset(self, y, offs, fit_intercept, weights=None):
+        # IPF-style fixed point: match weighted class proportions under
+        # softmax(b + o); converges linearly, then re-centered to sum 0
+        if not fit_intercept:
+            return jnp.zeros((self.n_classes,), y.dtype)
+        target = jnp.maximum(_wmean(y, weights), 1e-12)
+        w = jnp.ones((y.shape[0], 1), y.dtype) if weights is None else weights.reshape(-1, 1)
+        W = jnp.maximum(jnp.sum(w), 1e-12)
+        b0 = self.null_intercept(y, fit_intercept, weights)
+
+        def body(b, _):
+            lp = b[None, :] + offs
+            p = jnp.exp(lp - logsumexp(lp, axis=1, keepdims=True))
+            pw = jnp.maximum(jnp.sum(p * w, axis=0) / W, 1e-12)
+            return b + jnp.log(target) - jnp.log(pw), None
+
+        b, _ = jax.lax.scan(body, b0, None, length=100)
+        return b - jnp.mean(b)
 
     def lambda_max(self, x, y, y_scale, weights=None):
         # one-hot indicator standardized per class; per-class inner products

@@ -111,9 +111,11 @@ def fit_path_sharded(
     penalty,
     config: SolverConfig,
     mesh: Mesh,
+    offs=None,
 ):
     """shard_map-wrapped fit_path: one compiled SPMD program for the whole
-    warm-started lambda path."""
+    warm-started lambda path.  `offs` is an optional row-sharded (n_pad, k)
+    linear-predictor offset."""
     assert config.axis_name == AXIS
     state_specs = SagaState(
         w=P(None, None),
@@ -133,6 +135,7 @@ def fit_path_sharded(
         P(),  # tol
         P(None),  # key
         state_specs,
+        P(AXIS, None) if offs is not None else None,  # offset row-sharded
     )
     out_specs = (
         state_specs,
@@ -147,7 +150,7 @@ def fit_path_sharded(
         ),
     )
 
-    def local_fit(x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l):
+    def local_fit(x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l, offs_l):
         # shard_map hands back locally-shaped leaves; fix logical row counts
         n_local = y_l.shape[0]
         if isinstance(x_l, HybridCSR):
@@ -157,10 +160,13 @@ def fit_path_sharded(
             x_l = HybridCSR(x_l.head, tail, n_local, x_l.n_cols)
         elif isinstance(x_l, PaddedCSR):
             x_l = PaddedCSR(x_l.indices, x_l.values, x_l.nnz, n_local, x_l.n_cols)
-        return fit_path(x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l, family, penalty, config)
+        return fit_path(
+            x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l, family, penalty, config,
+            offs=offs_l,
+        )
 
     try:  # jax >= 0.8 uses check_vma; older versions check_rep
         fn = shard_map(local_fit, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
     except TypeError:
         fn = shard_map(local_fit, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
-    return fn(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0)
+    return fn(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, offs)

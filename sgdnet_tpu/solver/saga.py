@@ -192,7 +192,7 @@ def _batch_outer(x, xc, g_change, idx, sparse_mode: str):
     return corr
 
 
-def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, config: SolverConfig, block: int = 1024):
+def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, config: SolverConfig, block: int = 1024, offs=None):
     """Weighted total loss over the dataset, computed in row blocks
     (reference src/utils.h:199-227 EpochLoss / :304-329 Deviance)."""
     n_pad = y.shape[0]
@@ -205,6 +205,8 @@ def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, config: Solve
     def body(carry, i):
         idx = i * block + jnp.arange(block)
         lp = _batch_predict(x, xc, w, idx) + intercept
+        if offs is not None:
+            lp = lp + offs[idx]
         losses = family.loss(lp, y[idx]) * weights[idx]
         return carry + jnp.sum(losses), None
 
@@ -217,7 +219,7 @@ def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, config: Solve
 # ---------------------------------------------------------------------------
 
 
-def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, config: SolverConfig):
+def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, config: SolverConfig, offs=None):
     B = config.batch_size
 
     # fused Pallas head kernel: only for f32 dense/hybrid with supported tiles
@@ -249,6 +251,8 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
             lp_extra = jnp.zeros((B, family.n_classes), x.dtype)
             w_head = state.w
         lp_extra = lp_extra + state.intercept
+        if offs is not None:
+            lp_extra = lp_extra + offs[idx]
         if xc is not None:
             lp_extra = lp_extra - jnp.dot(state.w, xc.astype(state.w.dtype))
 
@@ -273,6 +277,8 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
         wb = weights[idx]
 
         lp = _batch_predict(x, xc, state.w, idx) + state.intercept
+        if offs is not None:
+            lp = lp + offs[idx]
         g = family.gradient(lp, yb) * wb[:, None]  # weighted; pad rows -> 0
         g_change = g - state.g_mem[idx]  # (B, k)
         g_mem = state.g_mem.at[idx].set(g)
@@ -327,12 +333,12 @@ def _refresh_g_sum(x, xc, weights, w_total, state: SagaState, config: SolverConf
     return state._replace(g_sum=g_sum, g_sum_intercept=col_sum / w_total)
 
 
-def _make_epoch(x, y, weights, xc, w_total, family, penalty, config: SolverConfig):
+def _make_epoch(x, y, weights, xc, w_total, family, penalty, config: SolverConfig, offs=None):
     n_pad = y.shape[0]
     B = config.batch_size
     assert n_pad % B == 0, "n_pad must be a multiple of batch_size"
     n_batches = n_pad // B
-    step = _make_step(x, y, weights, xc, w_total, family, penalty, config)
+    step = _make_step(x, y, weights, xc, w_total, family, penalty, config, offs=offs)
 
     def epoch(state: SagaState, key, gamma, l1, l2):
         if config.axis_name is not None:
@@ -380,6 +386,7 @@ def fit_path(
     family: Family,
     penalty: Penalty,
     config: SolverConfig,
+    offs=None,
 ) -> tuple[SagaState, jnp.ndarray, PathResults]:
     """Fit the whole lambda path in one compiled computation.
 
@@ -388,16 +395,20 @@ def fit_path(
     carries from one lambda to the next; each lambda runs epochs under a
     while_loop until the relative-change convergence criterion
     max|dw| / max|w| <= tol (reference src/utils.h:240-262) or max_iter.
+
+    `offs` is an optional fixed (n_pad, k) offset added to every linear
+    predictor (extension; documented-but-unimplemented in the reference,
+    R/sgdnet.R:341-342).
     """
     with jax.default_matmul_precision(config.matmul_precision):
         return _fit_path_impl(
-            x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config
+            x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config, offs
         )
 
 
-def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config):
+def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config, offs=None):
     w_total = jnp.maximum(_psum(jnp.sum(weights), config), 1e-12)
-    epoch_fn = _make_epoch(x, y, weights, xc, w_total, family, penalty, config)
+    epoch_fn = _make_epoch(x, y, weights, xc, w_total, family, penalty, config, offs=offs)
     max_iter = config.max_iter
 
     def fit_one(state: SagaState, gamma, l1, l2, lam_key):
@@ -417,7 +428,7 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
             no_change = (max_size != 0.0) & (max_change <= tol * max_size)
             done = all_zero | no_change
             if config.debug:
-                loss = _dataset_loss(x, y, weights, xc, state.w, state.intercept, family, config) / w_total
+                loss = _dataset_loss(x, y, weights, xc, state.w, state.intercept, family, config, offs=offs) / w_total
                 losses = losses.at[it].set(loss)
             return (state, state.w, it + 1, done, losses)
 
@@ -430,7 +441,7 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
         gamma, l1, l2, i = xs
         lam_key = jax.random.fold_in(key, i)
         state, it, losses = fit_one(state, gamma, l1, l2, lam_key)
-        dev = 2.0 * _dataset_loss(x, y, weights, xc, state.w, state.intercept, family, config)
+        dev = 2.0 * _dataset_loss(x, y, weights, xc, state.w, state.intercept, family, config, offs=offs)
         out = (state.w, state.intercept, dev, it, jnp.where(it >= max_iter, 1, 0).astype(jnp.int32), losses)
         return (state, n_iter + it), out
 
