@@ -82,6 +82,7 @@ def _traced_score(family, type_measure: str, lp, y, mask):
 def _fold_fit_and_score(
     x, y_enc, train_w, valid, lambdas, mix, top_sq_hint,
     family, penalty, config: SolverConfig, type_measure: str, tol, key,
+    standardize: bool = True,
 ):
     """One fold, fully traced: weighted standardize -> fit path -> score."""
     dtype = x.dtype
@@ -90,10 +91,13 @@ def _fold_fit_and_score(
 
     w64 = train_w.astype(dtype)
     W = jnp.maximum(jnp.sum(w64), 1e-12)
-    wm = jnp.sum(x * w64[:, None], axis=0) / W
-    wvar = jnp.sum(w64[:, None] * (x - wm) ** 2, axis=0) / W
-    ws = jnp.where(wvar == 0.0, 1.0, jnp.sqrt(wvar))
-    x_std = (x - wm) / ws
+    if standardize:
+        wm = jnp.sum(x * w64[:, None], axis=0) / W
+        wvar = jnp.sum(w64[:, None] * (x - wm) ** 2, axis=0) / W
+        ws = jnp.where(wvar == 0.0, 1.0, jnp.sqrt(wvar))
+        x_std = (x - wm) / ws
+    else:
+        x_std = x
 
     y_proc, y_center, y_scale = family.preprocess(y_enc, train_w)
     max_scale = jnp.max(y_scale)
@@ -132,17 +136,18 @@ def _fold_fit_and_score(
 
 @partial(
     jax.jit,
-    static_argnames=("family", "penalty", "config", "type_measure", "mesh"),
+    static_argnames=("family", "penalty", "config", "type_measure", "mesh", "standardize"),
 )
 def _run_folds(
     x, y_enc, fold_train_w, valid, lambdas, mix, top_sq_hint, tol, key,
-    family, penalty, config, type_measure, mesh,
+    family, penalty, config, type_measure, mesh, standardize=True,
 ):
     def local(x_l, y_l, fw_l, valid_l, lambdas, mix, top_sq, tol, key):
         def one(fw):
             return _fold_fit_and_score(
                 x_l, y_l, fw, valid_l, lambdas, mix, top_sq,
                 family, penalty, config, type_measure, tol, key,
+                standardize=standardize,
             )
 
         return jax.lax.map(one, fw_l)  # (local_folds, nl)
@@ -177,8 +182,6 @@ def parallel_fold_scores(
     """
     if type_measure == "auc":
         raise ValueError("auc is not supported by the parallel CV path")
-    if not standardize:
-        raise NotImplementedError("parallel CV currently assumes standardize=True")
 
     x = np.asarray(x, dtype=np.float64)
     n, p = x.shape
@@ -205,11 +208,10 @@ def parallel_fold_scores(
 
     x_dev = jnp.asarray(x_pad, dtype)
     # safety margin: a fold's top singular value can mildly exceed full-data
-    top_sq = (
-        power_iteration_sq_norm((x_dev - x_dev.mean(0)) / jnp.maximum(x_dev.std(0), 1e-12))
-        / max(n, 1)
-        * 1.2
+    x_hint = (
+        (x_dev - x_dev.mean(0)) / jnp.maximum(x_dev.std(0), 1e-12) if standardize else x_dev
     )
+    top_sq = power_iteration_sq_norm(x_hint) / max(n, 1) * 1.2
 
     config = SolverConfig(batch_size=batch_size, max_iter=maxit, fit_intercept=intercept)
 
@@ -232,5 +234,6 @@ def parallel_fold_scores(
         config,
         type_measure,
         mesh,
+        standardize=standardize,
     )
     return np.asarray(scores)[:nfolds]

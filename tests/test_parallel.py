@@ -100,3 +100,20 @@ def test_hybrid_sharded():
     )
     scale = max(1.0, np.abs(f_single.beta).max())
     np.testing.assert_allclose(f_shard.beta, f_single.beta, atol=2e-3 * scale)
+
+
+@requires_multi
+def test_parallel_cv_unstandardized():
+    """standardize=False now supported in the fold-parallel path."""
+    x, y = random_data(n=240, p=6, seed=12)
+    foldid = np.arange(240) % 4
+    cv_serial = st.cv_fit(
+        x, y, foldid=foldid, nlambda=6, thresh=1e-5, dtype=np.float64, standardize=False
+    )
+    fold_mesh = make_mesh(4, axis="folds")
+    cv_par = st.cv_fit(
+        x, y, foldid=foldid, nlambda=6, thresh=1e-5, dtype=np.float64, standardize=False,
+        parallel=True, cv_mesh=fold_mesh,
+    )
+    np.testing.assert_allclose(cv_par.cv_raw[0], cv_serial.cv_raw[0], rtol=0.05, atol=1e-3)
+    assert abs(np.log(cv_par.lambda_min) - np.log(cv_serial.lambda_min)) < 1e-9
