@@ -118,6 +118,7 @@ def bench_sparse_epoch(
     scan_unroll=1,
     max_head=4096,
     coverage=0.9,
+    sampling="permutation",
 ):
     import jax
     import jax.numpy as jnp
@@ -143,6 +144,7 @@ def bench_sparse_epoch(
         intercept_decay=0.01,
         use_pallas=use_pallas,
         scan_unroll=scan_unroll,
+        sampling=sampling,
     )
     state = init_state(n_pad, p, 1, jnp.float32)
 
@@ -183,7 +185,8 @@ def bench_sparse_epoch(
     nnz_per_s = total_nnz / elapsed
     log(
         f"sparse epoch bench: n={n} p={p} nnz/row={nnz_per_row} B={batch_size} "
-        f"mode={'hybrid' if hybrid else sparse_mode}{'+pallas' if use_pallas else ''}: "
+        f"mode={'hybrid' if hybrid else sparse_mode}{'+pallas' if use_pallas else ''}"
+        f"{'+block' if sampling == 'block' else ''}: "
         f"{epochs} epochs in {elapsed:.3f}s -> {nnz_per_s:.3e} nnz/s"
     )
     return nnz_per_s
@@ -259,8 +262,9 @@ def main():
     best = 0.0
     # modest sweep over batch size / strategy; report the best steady-state
     for kwargs in (
+        dict(batch_size=16384, hybrid=True, max_head=8192, coverage=0.95, sampling="block"),
         dict(batch_size=16384, hybrid=True, max_head=8192, coverage=0.95),
-        dict(batch_size=32768, hybrid=True, max_head=8192, coverage=0.95),
+        dict(batch_size=32768, hybrid=True, max_head=8192, coverage=0.95, sampling="block"),
     ):
         try:
             v = bench_sparse_epoch(**kwargs)

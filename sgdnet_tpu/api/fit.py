@@ -178,6 +178,7 @@ def fit(
     warm_state: SagaState | None = None,
     intercept_decay: float | None = None,
     sparse_mode: str | None = None,
+    sampling: str = "permutation",
     feature_names=None,
     mesh=None,
     use_pallas: bool | None = None,
@@ -394,6 +395,30 @@ def fit(
         n_pad = pad_to_shards(n_samples, mesh.devices.size, batch_size)
     else:
         n_pad = ((n_samples + batch_size - 1) // batch_size) * batch_size
+    if sampling not in ("permutation", "block"):
+        raise ValueError("sampling must be 'permutation' or 'block'")
+    if sampling == "block":
+        # Block sampling draws fixed contiguous row blocks in random order
+        # (streams HBM instead of gathering rows — faster epochs on TPU).
+        # Shuffle rows once so blocks are random samples even for ordered
+        # input.  Seed-deterministic, so warm_state from a fit with the same
+        # seed+sampling stays row-aligned.
+        rperm = jnp.asarray(np.random.default_rng(seed + 0x5EED).permutation(n_samples))
+        if isinstance(x, HybridCSR):
+            tail = PaddedCSR(
+                x.tail.indices[rperm], x.tail.values[rperm], x.tail.nnz[rperm],
+                x.tail.n_rows, x.tail.n_cols,
+            )
+            x = HybridCSR(x.head[rperm], tail, x.n_rows, x.n_cols)
+        elif isinstance(x, PaddedCSR):
+            x = PaddedCSR(x.indices[rperm], x.values[rperm], x.nnz[rperm], x.n_rows, x.n_cols)
+        else:
+            x = x[rperm]
+        y_proc = y_proc[rperm]
+        weights = weights[rperm]
+        if offs64 is not None:
+            offs64 = offs64[rperm]
+
     offs_dev = None if offs64 is None else offs64.astype(dtype)
     if n_pad > n_samples:
         extra = n_pad - n_samples
@@ -447,6 +472,7 @@ def fit(
         intercept_decay=intercept_decay,
         g_sum_refresh=True,
         sparse_mode=sparse_mode,
+        sampling=sampling,
         debug=debug,
         axis_name=None if mesh is None else "data",
         # fused Pallas head kernel: opt-in. Measured on v5e, XLA's own
@@ -597,6 +623,7 @@ def fit(
         batch_size=batch_size,
         dtype=dtype,
         seed=seed,
+        sampling=sampling,
         sample_weight=weights_np if sample_weight is not None else None,
         offset=offset_arr if offset_arr is not None else None,
     )

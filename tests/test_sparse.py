@@ -134,3 +134,26 @@ def test_hybrid_pure_csr_agree():
     f_csr = st.fit(xs, y, hybrid=False, lambda_path=f_hybrid.lambda_, **common)
     scale = max(1.0, np.abs(f_csr.beta).max())
     np.testing.assert_allclose(f_hybrid.beta, f_csr.beta, atol=2e-3 * scale)
+
+
+def test_block_sampling_matches_permutation():
+    """sampling='block' (contiguous HBM-streaming batches over pre-shuffled
+    rows) reaches the same solution as the default per-epoch permutation."""
+    rng = np.random.default_rng(13)
+    n, p = 300, 40
+    x = rng.normal(size=(n, p))
+    y = x @ (rng.normal(size=p) * (rng.random(p) < 0.3)) + 0.1 * rng.normal(size=n)
+    common = dict(nlambda=8, thresh=1e-6, maxit=3000, dtype=np.float64, batch_size=32)
+    f_perm = st.fit(x, y, **common)
+    f_block = st.fit(x, y, sampling="block", lambda_path=f_perm.lambda_, **common)
+    scale = max(1.0, np.abs(f_perm.beta).max())
+    np.testing.assert_allclose(f_block.beta, f_perm.beta, atol=2e-3 * scale)
+    np.testing.assert_allclose(f_block.a0, f_perm.a0, atol=5e-3 * scale)
+
+    # sparse + hybrid layouts under block sampling
+    xs = sp.csr_matrix((rng.random((n, p)) < 0.2) * x)
+    ys = np.asarray(xs @ (rng.normal(size=p) * 0.5)).ravel() + 0.05 * rng.normal(size=n)
+    f_sp = st.fit(xs, ys, hybrid=False, **common)
+    f_sb = st.fit(xs, ys, hybrid=False, sampling="block", lambda_path=f_sp.lambda_, **common)
+    scale = max(1.0, np.abs(f_sp.beta).max())
+    np.testing.assert_allclose(f_sb.beta, f_sp.beta, atol=2e-3 * scale)
