@@ -178,7 +178,7 @@ def fit(
     warm_state: SagaState | None = None,
     intercept_decay: float | None = None,
     sparse_mode: str | None = None,
-    sampling: str = "permutation",
+    sampling: str | None = None,
     feature_names=None,
     mesh=None,
     use_pallas: bool | None = None,
@@ -395,6 +395,10 @@ def fit(
         n_pad = pad_to_shards(n_samples, mesh.devices.size, batch_size)
     else:
         n_pad = ((n_samples + batch_size - 1) // batch_size) * batch_size
+    if sampling is None:
+        # big-data default: contiguous-block batches stream HBM (~20% faster
+        # epochs); same fixed point, so the 1e-3 contract is unaffected
+        sampling = "block" if n_samples >= 32768 else "permutation"
     if sampling not in ("permutation", "block"):
         raise ValueError("sampling must be 'permutation' or 'block'")
     if sampling == "block":
