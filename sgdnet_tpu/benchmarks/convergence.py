@@ -36,6 +36,18 @@ def _objective_loss(fit_obj, x, y):
         y01, _ = fam.encode(np.asarray(y))
         z = lp
         return float(np.mean(np.logaddexp(0, z) - y01[:, 0] * z))
+    if family == "multinomial":
+        from sgdnet_tpu.families import get_family
+
+        lp = fit_obj.predict(np.asarray(x), type="link")[:, :, -1]  # (n, k)
+        fam = get_family("multinomial")
+        onehot, _ = fam.encode(np.asarray(y))
+        m = lp.max(axis=1, keepdims=True)
+        lse = np.log(np.exp(lp - m).sum(axis=1)) + m[:, 0]
+        return float(np.mean(lse - (lp * onehot).sum(axis=1)))
+    if family == "mgaussian":
+        pred = fit_obj.predict(np.asarray(x))[:, :, -1]  # (n, k)
+        return float(0.5 * np.mean(np.sum((pred - np.asarray(y)) ** 2, axis=1)))
     raise ValueError(f"unsupported family for the protocol: {family}")
 
 
@@ -72,15 +84,17 @@ def convergence_curve(
 
 
 def run_reference_protocol(datasets=None, **fit_kwargs):
-    """Run the sweep on the bundled datasets for lasso and ridge
-    (the reference's gaussian/binomial benchmark set, scaled to what is
-    bundled: abalone + heart)."""
-    from sgdnet_tpu.data import load_abalone, load_heart
+    """Run the sweep on the bundled datasets for lasso and ridge — all four
+    reference benchmark families (vignettes/benchmarks.Rmd:62-125), scaled
+    to the bundled datasets."""
+    from sgdnet_tpu.data import load_abalone, load_heart, load_student, load_wine
 
     if datasets is None:
         datasets = {
             "abalone": (load_abalone(), "gaussian"),
             "heart": (load_heart(), "binomial"),
+            "wine": (load_wine(), "multinomial"),
+            "student": (load_student(), "mgaussian"),
         }
     out = {}
     for name, ((x, y), family) in datasets.items():
