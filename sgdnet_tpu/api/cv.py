@@ -60,6 +60,11 @@ class CvFit:
             s = getattr(self, s)
         return score_fn(self.fit, x, y, type_measure or self.type_measure, s=s, offset=offset)
 
+    def deviance(self):
+        """Deviance along the winning fit's path
+        (reference R/deviance.sgdnet.R:39-41)."""
+        return self.fit.deviance()
+
     def plot(self, **kwargs):
         from sgdnet_tpu.api.plot import plot_cv
 

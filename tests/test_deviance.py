@@ -62,3 +62,14 @@ def test_deviance_consistent_with_dev_ratio():
         np.testing.assert_allclose(dev, (1 - fit.dev_ratio) * fit.nulldev, rtol=1e-10)
         assert dev[0] == pytest.approx(fit.nulldev, rel=0.05)  # null-ish at lambda_max
         assert np.all(np.diff(dev) <= 1e-6 * fit.nulldev)
+
+
+def test_cv_deviance_delegates_to_winning_fit():
+    """CvFit.deviance == deviance of the winning full-data fit
+    (reference R/deviance.sgdnet.R:39-41)."""
+    from tests.helpers import random_data
+
+    x, y = random_data(80, 5, seed=30)
+    cv = st.cv_fit(x, y, nfolds=3, nlambda=6, thresh=1e-4)
+    np.testing.assert_allclose(cv.deviance(), cv.fit.deviance())
+    assert cv.deviance().shape == (6,)
