@@ -322,12 +322,17 @@ def fit(
 
     # ---- null deviance on the original response (src/sgdnet.cpp:154) ----
     offs_link64 = None
+    b0_offs = None  # offset null intercept, solved once and reused below
     if offset_arr is not None and offset_arr_internal is not None:
         offs_link64 = jnp.asarray(offset_arr_internal)
     if offs_link64 is not None:
+        b0_offs = fam.null_intercept_offset(
+            y_dev.astype(jnp.float64), offs_link64, intercept, weights.astype(jnp.float64)
+        )
         nulldev = float(
             fam.null_deviance_offset(
-                y_dev.astype(jnp.float64), offs_link64, intercept, weights.astype(jnp.float64)
+                y_dev.astype(jnp.float64), offs_link64, intercept,
+                weights.astype(jnp.float64), b0=b0_offs,
             )
         )
     else:
@@ -347,7 +352,7 @@ def fit(
             from sgdnet_tpu.families.families import lambda_max_offset
 
             lam_max = float(
-                lambda_max_offset(fam, x, y_proc64, offs64, y_scale, intercept, w64)
+                lambda_max_offset(fam, x, y_proc64, offs64, y_scale, intercept, w64, b0=b0_offs)
             ) / max(alpha, 0.001)
         else:
             lam_max = float(fam.lambda_max(x, y_proc64, y_scale, w64)) / max(alpha, 0.001)
@@ -397,8 +402,14 @@ def fit(
         n_pad = ((n_samples + batch_size - 1) // batch_size) * batch_size
     if sampling is None:
         # big-data default: contiguous-block batches stream HBM (~20% faster
-        # epochs); same fixed point, so the 1e-3 contract is unaffected
-        sampling = "block" if n_samples >= 32768 else "permutation"
+        # epochs); same fixed point, so the 1e-3 contract is unaffected.
+        # With an externally supplied warm_state, stay with permutation —
+        # block mode pre-shuffles rows and would misalign a g_mem saved
+        # under a different order (refits pass `sampling` explicitly).
+        if warm_state is not None:
+            sampling = "permutation"
+        else:
+            sampling = "block" if n_samples >= 32768 else "permutation"
     if sampling not in ("permutation", "block"):
         raise ValueError("sampling must be 'permutation' or 'block'")
     if sampling == "block":
@@ -440,10 +451,7 @@ def fit(
         state0 = init_state(n_pad, n_features, n_classes, dtype)
         # intercept warm-started at the null model (src/sgdnet.cpp:210)
         if offs_dev is not None:
-            null_int = fam.null_intercept_offset(
-                y_proc.astype(jnp.float64), offs_dev.astype(jnp.float64), intercept,
-                weights.astype(jnp.float64),
-            )
+            null_int = b0_offs  # same solve: y_proc == y_dev, y_scale == 1 here
         else:
             null_int = fam.null_intercept(
                 y_proc.astype(jnp.float64)[:n_pad], intercept, weights.astype(jnp.float64)
@@ -456,7 +464,7 @@ def fit(
         null_dev_scaled = float(
             fam.null_deviance_offset(
                 y_proc.astype(jnp.float64), offs_dev.astype(jnp.float64), intercept,
-                weights.astype(jnp.float64),
+                weights.astype(jnp.float64), b0=b0_offs,
             )
         )
     else:

@@ -154,13 +154,14 @@ def predict(
         lp = np.einsum("nj,lkj->nkl", newx, beta) + a0_2d.T[None, :, :]
 
     if newoffset is not None:
+        # same shape contract as fit's offset: per-class for multi-response
         no = np.asarray(newoffset, dtype=np.float64)
         if no.ndim == 1:
             no = no.reshape(-1, 1)
-        if no.shape[0] != lp.shape[0] or no.shape[1] not in (1, k):
-            raise ValueError(
-                f"newoffset must have shape ({lp.shape[0]},) or ({lp.shape[0]}, {k})"
-            )
+        kk = k if family in ("multinomial", "mgaussian") else 1
+        if no.shape != (lp.shape[0], kk):
+            want = f"({lp.shape[0]},)" if kk == 1 else f"({lp.shape[0]}, {kk})"
+            raise ValueError(f"newoffset must have shape {want} for family '{family}'")
         lp = lp + no[:, :, None]
 
     if family == "gaussian":

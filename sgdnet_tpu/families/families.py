@@ -125,10 +125,12 @@ class Family:
         return self.null_intercept(y, fit_intercept, weights)
 
     def null_deviance_offset(
-        self, y: jnp.ndarray, offs: jnp.ndarray, fit_intercept: bool, weights=None
+        self, y: jnp.ndarray, offs: jnp.ndarray, fit_intercept: bool, weights=None, b0=None
     ) -> jnp.ndarray:
-        """2 * sum(loss) under the intercept-plus-offset null model."""
-        b0 = self.null_intercept_offset(y, offs, fit_intercept, weights)
+        """2 * sum(loss) under the intercept-plus-offset null model.  Pass a
+        precomputed `b0` to skip the iterative intercept solve."""
+        if b0 is None:
+            b0 = self.null_intercept_offset(y, offs, fit_intercept, weights)
         lp0 = b0[None, :] + offs
         losses = self.loss(lp0, y)
         if weights is not None:
@@ -136,15 +138,19 @@ class Family:
         return 2.0 * jnp.sum(losses)
 
 
-def lambda_max_offset(fam: Family, x, y: jnp.ndarray, offs: jnp.ndarray, y_scale: jnp.ndarray, fit_intercept: bool, weights=None) -> jnp.ndarray:
+def lambda_max_offset(fam: Family, x, y: jnp.ndarray, offs: jnp.ndarray, y_scale: jnp.ndarray, fit_intercept: bool, weights=None, b0=None) -> jnp.ndarray:
     """Generic lambda_max = max-norm of the null-model gradient.
 
     Every family-specific `lambda_max` above equals the (weighted) gradient
     of the loss at the null model — e.g. the binomial formula
     y_std * max|x^T (y - ybar)/y_std| / n (reference src/families.h:203-220)
     is exactly max|x^T (sigma(b0) - y)| / n.  With an offset the null model
-    is intercept-plus-offset, so we evaluate that gradient directly."""
-    b0 = fam.null_intercept_offset(y, offs, fit_intercept, weights)
+    is intercept-plus-offset, so we evaluate that gradient directly.
+
+    Only link families (binomial/multinomial) reach this: identity-link
+    families fold the offset into the response and use `lambda_max`."""
+    if b0 is None:
+        b0 = fam.null_intercept_offset(y, offs, fit_intercept, weights)
     g = fam.gradient(b0[None, :] + offs, y)
     if weights is not None:
         g = g * weights.reshape(-1, 1)
@@ -152,8 +158,6 @@ def lambda_max_offset(fam: Family, x, y: jnp.ndarray, offs: jnp.ndarray, y_scale
     else:
         W = y.shape[0]
     inner = _xty(x, g) * y_scale[None, :].astype(jnp.float64)
-    if fam.name == "mgaussian":
-        return jnp.max(jnp.sqrt(jnp.sum(inner**2, axis=1))) / W
     return jnp.max(jnp.abs(inner)) / W
 
 
@@ -245,20 +249,29 @@ class Binomial(Family):
         return self.link(_wmean(y, weights))
 
     def null_intercept_offset(self, y, offs, fit_intercept, weights=None):
-        # damped Newton on the 1-D problem: sum w*(sigma(b + o) - y) = 0
+        # Bisection on the strictly increasing 1-D function
+        # f(b) = sum w*(sigma(b + o) - y): divergence-proof for any offset
+        # magnitude (Newton overshoots once sigma saturates).  The root lies
+        # within link(p_min/max) shifted by the offset range.
         if not fit_intercept:
             return jnp.zeros((1,), y.dtype)
         w = jnp.ones((y.shape[0], 1), y.dtype) if weights is None else weights.reshape(-1, 1)
-        b = self.link(_wmean(y, weights))
+        span = jnp.max(jnp.abs(offs)) + 35.0  # |link| <= ~21 at P_MIN=1e-9
+        lo = jnp.full((1,), -span, y.dtype)
+        hi = jnp.full((1,), span, y.dtype)
 
-        def body(b, _):
+        def f(b):
             p = 1.0 / (1.0 + jnp.exp(-(b[None, :] + offs)))
-            f = jnp.sum(w * (p - y))
-            fp = jnp.maximum(jnp.sum(w * p * (1.0 - p)), 1e-12)
-            return b - f / fp, None
+            return jnp.sum(w * (p - y))
 
-        b, _ = jax.lax.scan(body, b, None, length=50)
-        return b
+        def body(carry, _):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            go_right = f(mid) < 0.0
+            return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)), None
+
+        (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=80)
+        return 0.5 * (lo + hi)
 
     def lambda_max(self, x, y, y_scale, weights=None):
         # standardize the 0/1 response, then y_std * max|x^T y_map| / n

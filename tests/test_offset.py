@@ -239,3 +239,47 @@ def test_exact_refit_carries_offset():
     coefs = f.predict(s=s, type="coefficients", exact=True, x=x, y=y)
     assert coefs.shape == (1, x.shape[1] + 1)
     assert np.all(np.isfinite(coefs))
+
+
+def test_binomial_large_offset_null_model():
+    """Large offsets must not blow up the null-intercept solve (bisection;
+    undamped Newton diverged here — found by review, regression-pinned)."""
+    x, y = random_data(120, 5, "binomial", seed=23)
+    for c in (3.0, -8.0, 20.0):
+        f = st.fit(x, y, family="binomial", alpha=1.0, nlambda=6,
+                   offset=np.full(120, c), thresh=1e-5)
+        assert np.isfinite(f.nulldev) and f.nulldev < 1e4
+        assert np.all(np.isfinite(f.beta)) and np.all(np.isfinite(np.atleast_1d(f.a0)))
+        # constant offset ~ intercept shift: deviance path stays sane
+        assert np.all(f.dev_ratio >= -1e-6)
+
+    # the solved intercept satisfies the null optimality condition
+    from sgdnet_tpu.families import get_family
+    import jax.numpy as jnp
+
+    fam = get_family("binomial")
+    y01, _ = fam.encode(y)
+    offs = jnp.asarray(np.full((120, 1), 3.0))
+    b0 = fam.null_intercept_offset(jnp.asarray(y01), offs, True)
+    p = 1.0 / (1.0 + np.exp(-(float(b0[0]) + 3.0)))
+    assert abs(p - y01.mean()) < 1e-8
+
+
+def test_multinomial_large_offset_null_model():
+    x, y = random_data(120, 4, "multinomial", seed=24)
+    rng = np.random.default_rng(25)
+    o = rng.normal(scale=6.0, size=(120, 3))
+    f = st.fit(x, y, family="multinomial", alpha=0.5, nlambda=6, offset=o, thresh=1e-5)
+    assert np.isfinite(f.nulldev)
+    assert np.all(np.isfinite(f.beta))
+
+
+def test_newoffset_shape_contract_matches_fit():
+    """predict enforces the same per-class offset shape as fit (a 1-D
+    newoffset on a multinomial fit was silently broadcast — review find)."""
+    x, y = random_data(90, 4, "multinomial", seed=26)
+    o = np.zeros((90, 3))
+    f = st.fit(x, y, family="multinomial", nlambda=5, offset=o)
+    with pytest.raises(ValueError, match="newoffset must have shape"):
+        f.predict(x, newoffset=np.zeros(90))
+    f.predict(x, newoffset=o)  # correct shape passes

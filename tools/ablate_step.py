@@ -21,8 +21,8 @@ def main():
     from sgdnet_tpu.core.sparse import HybridCSR, PaddedCSR
 
     n, p, L, B = 100_000, 47_000, 76, 16384
-    x, y = make_sparse_binomial(n, p, L)
-    xh, _ = to_hybrid(x, max_head=4096, coverage=0.9)
+    csr_np, y = make_sparse_binomial(n, p, L)
+    xh, _ = to_hybrid(csr_np, max_head=4096, coverage=0.9)
     n_pad = ((n + B - 1) // B) * B
     xh = xh.pad_rows(n_pad)
     y = jnp.concatenate([jnp.asarray(y), jnp.zeros((n_pad - n, 1), jnp.float32)])
