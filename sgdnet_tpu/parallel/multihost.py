@@ -8,10 +8,11 @@ topology-agnostic: rows and gradient memory shard over the global mesh and
 the per-step psum rides ICI within the slice (DCN across slices is handled
 by the same collective — see jax.distributed docs).
 
-This module cannot be exercised in a single-host environment; the sharding
-semantics it relies on are covered by the virtual-device tests in
-tests/test_parallel.py, which is exactly how the mesh code paths behave
-under multi-host GSPMD.
+Exercised two ways without a pod slice: virtual-device sharding tests
+(tests/test_parallel.py) and a TRUE multi-process run — two OS processes,
+4 virtual CPU devices each, wired by `jax.distributed` with gloo collectives
+standing in for ICI (tests/test_multihost.py, tools/multiprocess_demo.py) —
+which runs this exact module end-to-end and matches the single-process fit.
 """
 
 from __future__ import annotations
