@@ -187,18 +187,23 @@ def bench_sparse_epoch(
 
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    state = jax.block_until_ready(run_epochs(x, y, weights, state, key, family, penalty, config, epochs))
+    state = run_epochs(x, y, weights, state, key, family, penalty, config, epochs)
+    float(jnp.sum(state.w))
     compile_and_first = time.perf_counter() - t0
     log(f"compile+first run: {compile_and_first:.2f}s")
 
-    # the tunneled TPU shows large run-to-run variance: take the best of 3
-    # (distinct keys — the execution relay caches identical runs)
+    # Timing MUST end with a host readback of a scalar derived from the
+    # result: on the relay, block_until_ready returns before execution
+    # finishes (measured: a 48 ms epoch "completes" in 0.4 ms without the
+    # fetch).  Best-of-3 with distinct keys (the relay caches identical
+    # dispatches and has high run-to-run variance).
     elapsed = float("inf")
     for r in range(1, 4):
         t0 = time.perf_counter()
-        state = jax.block_until_ready(
-            run_epochs(x, y, weights, state, jax.random.fold_in(key, r), family, penalty, config, epochs)
+        state = run_epochs(
+            x, y, weights, state, jax.random.fold_in(key, r), family, penalty, config, epochs
         )
+        float(jnp.sum(state.w))
         elapsed = min(elapsed, time.perf_counter() - t0)
 
     total_nnz = n * nnz_per_row * epochs
@@ -243,17 +248,15 @@ def bench_dense_multinomial(n=65536, p=784, k=10, batch_size=4096, epochs=3):
 
     key = jax.random.PRNGKey(0)
     xd, yd = jnp.asarray(x), jnp.asarray(y)
-    state = jax.block_until_ready(
-        run(xd, yd, weights, state, key, family, penalty, config, epochs)
-    )
-    # best-of-3 with distinct keys: the relay caches identical runs and has
-    # extreme run-to-run variance
+    state = run(xd, yd, weights, state, key, family, penalty, config, epochs)
+    float(jnp.sum(state.w))
+    # best-of-3 with distinct keys; each timing ends in a scalar host
+    # readback — block_until_ready returns early on the relay (see above)
     dt = float("inf")
     for r in range(1, 4):
         t0 = time.perf_counter()
-        jax.block_until_ready(
-            run(xd, yd, weights, state, jax.random.fold_in(key, r), family, penalty, config, epochs)
-        )
+        out = run(xd, yd, weights, state, jax.random.fold_in(key, r), family, penalty, config, epochs)
+        float(jnp.sum(out.w))
         dt = min(dt, time.perf_counter() - t0)
     flops = 4 * n * p * k * epochs  # fwd + bwd matmuls, 2 flops/MAC
     log(

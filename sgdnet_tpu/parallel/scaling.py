@@ -77,12 +77,14 @@ def measure_scaling(
             config,
         )
         out = fit_path_sharded(x, y, w, None, *args, mesh=mesh)
-        jax.block_until_ready(out)
+        float(jnp.sum(out[0].w))  # scalar readback: block_until_ready can
+        # return before execution finishes on relayed backends
         best = float("inf")
         for r in range(1, 4):
             a = args[:4] + (jax.random.PRNGKey(seed + r),) + args[5:]
             t0 = time.perf_counter()
-            jax.block_until_ready(fit_path_sharded(x, y, w, None, *a, mesh=mesh))
+            out = fit_path_sharded(x, y, w, None, *a, mesh=mesh)
+            float(jnp.sum(out[0].w))
             best = min(best, time.perf_counter() - t0)
         results[nd] = nnz * epochs / best
 

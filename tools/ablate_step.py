@@ -45,11 +45,15 @@ def main():
 
         args = (xh.head, xh.tail.indices, xh.tail.values, y, w, wvec, g_mem)
         key = jax.random.PRNGKey(0)
-        out = jax.block_until_ready(epoch(*args, key))
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(epoch(*args, jax.random.fold_in(key, 1)))
-        dt = time.perf_counter() - t0
-        print(f"{name}: {dt*1e3:.1f} ms/epoch", flush=True)
+        out = epoch(*args, key)
+        float(jnp.sum(out[0]))  # scalar readback; block_until_ready lies on the relay
+        best = float("inf")
+        for r in range(1, 4):
+            t0 = time.perf_counter()
+            out = epoch(*args, jax.random.fold_in(key, r))
+            float(jnp.sum(out[0]))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name}: {best*1e3:.1f} ms/epoch", flush=True)
 
     d = xh.n_head
 
