@@ -105,12 +105,14 @@ def as_padded(csr_np):
     )
 
 
-def to_hybrid(csr_np, max_head=4096, coverage=0.9):
+def to_hybrid(csr_np, max_head=4096, coverage=0.9, head_dtype=None):
     """numpy padded-CSR dict -> dense-head/sparse-tail HybridCSR layout."""
     from sgdnet_tpu.core.sparse import HybridCSR
 
     xs = _to_scipy(csr_np)
-    xh, perm = HybridCSR.split_columns(xs, coverage=coverage, max_head=max_head)
+    xh, perm = HybridCSR.split_columns(
+        xs, coverage=coverage, max_head=max_head, head_dtype=head_dtype
+    )
     col_nnz = np.bincount(xs.indices, minlength=csr_np["p"])
     head_nnz = int(col_nnz[perm[: xh.n_head]].sum())  # host-side (no readback)
     log(
@@ -133,6 +135,8 @@ def bench_sparse_epoch(
     max_head=4096,
     coverage=0.9,
     sampling="permutation",
+    g_sum_refresh_every=1,
+    head_dtype=None,
     data=None,
     x_prebuilt=None,
 ):
@@ -147,7 +151,7 @@ def bench_sparse_epoch(
     if x_prebuilt is not None:
         x = x_prebuilt
     elif hybrid:
-        x, _ = to_hybrid(csr_np, max_head=max_head, coverage=coverage)
+        x, _ = to_hybrid(csr_np, max_head=max_head, coverage=coverage, head_dtype=head_dtype)
     else:
         x = as_padded(csr_np)
     n_pad = ((n + batch_size - 1) // batch_size) * batch_size
@@ -165,6 +169,7 @@ def bench_sparse_epoch(
         use_pallas=use_pallas,
         scan_unroll=scan_unroll,
         sampling=sampling,
+        g_sum_refresh_every=g_sum_refresh_every,
     )
     state = init_state(n_pad, p, 1, jnp.float32)
 
@@ -180,7 +185,7 @@ def bench_sparse_epoch(
         epoch = _make_epoch(x, y, weights, None, jnp.float32(n), family, penalty, config)
 
         def body(state, i):
-            return epoch(state, jax.random.fold_in(key, i), gamma, l1, l2), None
+            return epoch(state, jax.random.fold_in(key, i), gamma, l1, l2, it=i), None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(epochs))
         return state
@@ -211,7 +216,9 @@ def bench_sparse_epoch(
     log(
         f"sparse epoch bench: n={n} p={p} nnz/row={nnz_per_row} B={batch_size} "
         f"mode={'hybrid' if hybrid else sparse_mode}{'+pallas' if use_pallas else ''}"
-        f"{'+block' if sampling == 'block' else ''}: "
+        f"{'+block' if sampling == 'block' else ''}"
+        f"{f'+refresh/{g_sum_refresh_every}' if g_sum_refresh_every > 1 else ''}"
+        f"{f'+head:{head_dtype}' if head_dtype is not None else ''}: "
         f"{epochs} epochs in {elapsed:.3f}s -> {nnz_per_s:.3e} nnz/s"
     )
     return nnz_per_s
@@ -283,17 +290,29 @@ def main():
 
     best = 0.0
     # sweep over batch size / layout (winners of the measured B x D cross);
-    # hybrid layouts are cached per (max_head, coverage)
+    # hybrid layouts are cached per (max_head, coverage, head_dtype).
+    # bf16-head configs are included only because their convergence was
+    # validated on-chip against f32 (tools/validate_bf16.py; RESULTS.md) —
+    # the fitted objective matches, the contract merely loosens to ~1e-2.
     hybrids = {}
     for kwargs in (
+        dict(batch_size=8192, hybrid=True, max_head=16384, coverage=0.98, sampling="block",
+             g_sum_refresh_every=4),
+        dict(batch_size=8192, hybrid=True, max_head=16384, coverage=0.98, sampling="block",
+             g_sum_refresh_every=4, head_dtype="bfloat16"),
+        dict(batch_size=8192, hybrid=True, max_head=32768, coverage=0.995, sampling="block",
+             g_sum_refresh_every=4, head_dtype="bfloat16"),
         dict(batch_size=8192, hybrid=True, max_head=16384, coverage=0.98, sampling="block"),
-        dict(batch_size=4096, hybrid=True, max_head=8192, coverage=0.95, sampling="block"),
-        dict(batch_size=16384, hybrid=True, max_head=8192, coverage=0.95, sampling="block"),
     ):
         try:
-            key = (kwargs["max_head"], kwargs["coverage"])
+            key = (kwargs["max_head"], kwargs["coverage"], kwargs.get("head_dtype"))
             if key not in hybrids:
-                hybrids[key], _ = to_hybrid(data[0], max_head=key[0], coverage=key[1])
+                import jax.numpy as jnp
+
+                hd = None if key[2] is None else getattr(jnp, key[2])
+                hybrids[key], _ = to_hybrid(
+                    data[0], max_head=key[0], coverage=key[1], head_dtype=hd
+                )
             v = bench_sparse_epoch(**kwargs, data=data, x_prebuilt=hybrids[key])
             best = max(best, v)
         except Exception as e:  # noqa: BLE001

@@ -110,7 +110,8 @@ class SgdnetFit:
 
 
 def _as_design_matrix(
-    x, dtype, hybrid=None, hybrid_coverage=0.9, hybrid_max_head=16384, hybrid_memory_budget=2e9
+    x, dtype, hybrid=None, hybrid_coverage=0.9, hybrid_max_head=16384,
+    hybrid_memory_budget=2e9, hybrid_head_dtype=None,
 ):
     """Accept numpy/jax dense, scipy sparse, PaddedCSR, or HybridCSR.
 
@@ -134,6 +135,7 @@ def _as_design_matrix(
                     max_head=hybrid_max_head,
                     dtype=dtype,
                     memory_budget=hybrid_memory_budget,
+                    head_dtype=hybrid_head_dtype,
                 )
                 return xh, True, perm
             return PaddedCSR.from_scipy(x, dtype=dtype), True, None
@@ -187,6 +189,8 @@ def fit(
     hybrid_coverage: float = 0.9,
     hybrid_max_head: int = 16384,
     hybrid_memory_budget: float = 2e9,
+    hybrid_head_dtype=None,
+    g_sum_refresh_every: int = 1,
 ) -> SgdnetFit:
     """Fit an elastic-net regularized GLM path with batched SAGA.
 
@@ -229,6 +233,7 @@ def fit(
         hybrid_coverage=hybrid_coverage,
         hybrid_max_head=hybrid_max_head,
         hybrid_memory_budget=hybrid_memory_budget,
+        hybrid_head_dtype=hybrid_head_dtype,
     )
     n_samples, n_features = x.shape
     if n_samples == 0:
@@ -483,6 +488,7 @@ def fit(
         fit_intercept=intercept,
         intercept_decay=intercept_decay,
         g_sum_refresh=True,
+        g_sum_refresh_every=g_sum_refresh_every,
         sparse_mode=sparse_mode,
         sampling=sampling,
         debug=debug,

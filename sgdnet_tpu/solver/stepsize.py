@@ -36,6 +36,8 @@ def power_iteration_sq_norm(x, x_center_scaled=None, n_iter: int = 30, seed: int
     if isinstance(x, (PaddedCSR, HybridCSR)):
         p = x.n_cols
         dtype = x.values.dtype if isinstance(x, PaddedCSR) else x.head.dtype
+        # a bf16 head must not drag the iteration vectors down to bf16
+        dtype = jnp.promote_types(dtype, jnp.float32)
 
         def matvec(v):
             xv = x.matmul_dense(v.reshape(-1, 1).astype(dtype))[:, 0]
