@@ -29,10 +29,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: largest (Bt * D) f32 tile we allow in VMEM (1 MB — Mosaic double-buffers
-#: input blocks and keeps outputs + scratch resident; 4 MB tiles OOM the
-#: 16 MB scoped vmem at D=4096)
-_MAX_TILE_ELEMS = 1 << 18
+#: largest (Bt * D) f32 tile we allow in VMEM.  With the default 16 MB
+#: scoped vmem this had to stay at 1 MB (2^18 elems), which capped Bt at 16
+#: rows for D=16384 — too skinny to feed the MXU, so XLA's two-pass schedule
+#: won.  We now raise the Mosaic vmem budget explicitly (see
+#: _COMPILER_PARAMS) and allow 16 MB tiles (Bt=256 at D=16384): the tile is
+#: read from HBM once and drives both the forward and the rank-B backward
+#: matmul, halving traffic on the dominant term.
+_MAX_TILE_ELEMS = 1 << 22
+
+#: raise the scoped-vmem budget: one resident input tile (double-buffered)
+#: + the (kp, D) weight block and corr accumulator must fit
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _gradient(family_name: str, lp, yb, k: int):
@@ -61,14 +69,16 @@ def _kernel(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, acc_
     n = pl.num_programs(0)
 
     xb = xb_ref[:]  # (Bt, D) — read once, used by both matmuls
-    # HIGHEST: true-f32 MXU passes — default bf16 precision loses ~1e-2 on
-    # large logits, visibly shifting sigmoids/softmaxes
+    # f32 inputs: HIGHEST = true-f32 MXU passes (default bf16 precision
+    # loses ~1e-2 on large logits, visibly shifting sigmoids/softmaxes).
+    # bf16 inputs: single-pass bf16 MXU with f32 accumulation by design.
+    prec = None if xb.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     lp = (
         jnp.dot(
             xb,
-            w_ref[:].T,
+            w_ref[:].T.astype(xb.dtype),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         + lpe_ref[:]
     )
@@ -78,7 +88,7 @@ def _kernel(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, acc_
     g_out[:] = g
 
     tile_corr = jnp.dot(
-        gc.T, xb, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        gc.astype(xb.dtype).T, xb, preferred_element_type=jnp.float32, precision=prec
     )
 
     @pl.when(i == 0)
@@ -94,15 +104,17 @@ def _kernel(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, acc_
         corr_out[:] = acc_ref[:]
 
 
-def supported(B: int, D: int, k: int) -> bool:
+def supported(B: int, D: int, k: int, dtype=jnp.float32) -> bool:
     """Shapes this kernel handles (tile fits VMEM, batch divisible)."""
-    bt = _pick_bt(B, D)
+    bt = _pick_bt(B, D, dtype)
     return bt is not None and k <= 128
 
 
-def _pick_bt(B: int, D: int):
-    for bt in (512, 256, 128, 64, 32, 16, 8):
-        if B % bt == 0 and bt * max(D, 1) <= _MAX_TILE_ELEMS:
+def _pick_bt(B: int, D: int, dtype=jnp.float32):
+    # bf16 tiles are half the bytes — allow twice the elements
+    budget = _MAX_TILE_ELEMS * (2 if dtype == jnp.bfloat16 else 1)
+    for bt in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if B % bt == 0 and bt * max(D, 1) <= budget:
             return bt
     return None
 
@@ -117,9 +129,16 @@ def fused_head_step(xb, w_h, lp_extra, yb, g_mem_b, wb, family_name: str, interp
     """
     B, D = xb.shape
     k = w_h.shape[0]
-    bt = _pick_bt(B, D)
+    bt = _pick_bt(B, D, xb.dtype)
     assert bt is not None, "unsupported shapes for fused_head_step"
     n_tiles = B // bt
+    # everything except the big xb tile runs in f32 (bf16 affects only the
+    # dominant stream; gradients/accumulators keep full precision)
+    w_h = w_h.astype(jnp.float32)
+    lp_extra = lp_extra.astype(jnp.float32)
+    yb = yb.astype(jnp.float32)
+    g_mem_b = g_mem_b.astype(jnp.float32)
+    wb = wb.astype(jnp.float32)
 
     # pad the class dimension to a lane-friendly multiple of 8 — Mosaic
     # rejects k=1 matvec reductions with vector accumulators; pad garbage
@@ -152,9 +171,11 @@ def fused_head_step(xb, w_h, lp_extra, yb, g_mem_b, wb, family_name: str, interp
         functools.partial(_kernel, family_name=family_name, k=k),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, kp), xb.dtype),
-            jax.ShapeDtypeStruct((kp, D), xb.dtype),
+            # gradients and corr stay f32 even for a bf16 head
+            jax.ShapeDtypeStruct((B, kp), jnp.float32),
+            jax.ShapeDtypeStruct((kp, D), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(xb, w_h, lp_extra, yb, g_mem_b, wb.reshape(B, 1))
     return g[:, :k], corr[:k]

@@ -261,7 +261,9 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
         from sgdnet_tpu.solver.pallas_kernels import supported
 
         head = x.head if isinstance(x, HybridCSR) else x
-        if head.dtype == jnp.float32 and supported(B, head.shape[1], family.n_classes):
+        if head.dtype in (jnp.float32, jnp.bfloat16) and supported(
+            B, head.shape[1], family.n_classes, head.dtype
+        ):
             use_pallas = True
             pallas_interpret = jax.default_backend() != "tpu"
 

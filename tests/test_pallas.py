@@ -66,3 +66,26 @@ def test_unsupported_shapes_fall_back():
 
     assert not sup(100, 64, 1)  # batch not divisible by a tile size
     assert not sup(256, 64, 200)  # too many classes
+
+
+def test_kernel_bf16_head():
+    """bf16 xb tiles: outputs stay f32 and match the f32 kernel at the
+    bf16-rounding tolerance."""
+    rng = np.random.default_rng(3)
+    B, D, k = 128, 256, 1
+    xb32 = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, D)).astype(np.float32))
+    lpe = jnp.zeros((B, k), jnp.float32)
+    yb = jnp.asarray((rng.random((B, k)) < 0.5).astype(np.float32))
+    gm = jnp.zeros((B, k), jnp.float32)
+    wb = jnp.ones((B,), jnp.float32)
+
+    g32, c32 = fused_head_step(xb32, w, lpe, yb, gm, wb, "binomial", interpret=INTERPRET)
+    g16, c16 = fused_head_step(
+        xb32.astype(jnp.bfloat16), w, lpe, yb, gm, wb, "binomial", interpret=INTERPRET
+    )
+    assert g16.dtype == jnp.float32 and c16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32), atol=5e-2)
+    np.testing.assert_allclose(
+        np.asarray(c16), np.asarray(c32), atol=5e-2 * max(1.0, float(jnp.abs(c32).max()))
+    )
