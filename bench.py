@@ -289,31 +289,29 @@ def main():
         baseline = CPU_BASELINE_NNZ_PER_S
 
     best = 0.0
-    # sweep over batch size / layout (winners of the measured B x D cross);
-    # hybrid layouts are cached per (max_head, coverage, head_dtype).
+    # sweep over batch size / layout (winners of the measured B x D cross).
+    # Each config builds its device layout inside the call and frees it on
+    # return — a 16k-wide f32 head is 6.9 GB of HBM, so layouts must NOT be
+    # cached across configs (two resident heads OOM the 16 GB chip).
     # bf16-head configs are included only because their convergence was
-    # validated on-chip against f32 (tools/validate_bf16.py; RESULTS.md) —
-    # the fitted objective matches, the contract merely loosens to ~1e-2.
-    hybrids = {}
+    # validated on-chip against f32 (tools/validate_bf16.py; RESULTS.md):
+    # objective rel diff 4.4e-7, coefficients 3.3e-5 relative.
+    import jax.numpy as jnp
+
     for kwargs in (
-        dict(batch_size=8192, hybrid=True, max_head=16384, coverage=0.98, sampling="block",
-             g_sum_refresh_every=4),
         dict(batch_size=8192, hybrid=True, max_head=16384, coverage=0.98, sampling="block",
              g_sum_refresh_every=4, head_dtype="bfloat16"),
         dict(batch_size=8192, hybrid=True, max_head=32768, coverage=0.995, sampling="block",
              g_sum_refresh_every=4, head_dtype="bfloat16"),
-        dict(batch_size=8192, hybrid=True, max_head=16384, coverage=0.98, sampling="block"),
+        dict(batch_size=8192, hybrid=True, max_head=16384, coverage=0.98, sampling="block",
+             g_sum_refresh_every=4),
     ):
         try:
-            key = (kwargs["max_head"], kwargs["coverage"], kwargs.get("head_dtype"))
-            if key not in hybrids:
-                import jax.numpy as jnp
-
-                hd = None if key[2] is None else getattr(jnp, key[2])
-                hybrids[key], _ = to_hybrid(
-                    data[0], max_head=key[0], coverage=key[1], head_dtype=hd
-                )
-            v = bench_sparse_epoch(**kwargs, data=data, x_prebuilt=hybrids[key])
+            kw = dict(kwargs)
+            hd = kw.pop("head_dtype", None)
+            v = bench_sparse_epoch(
+                **kw, head_dtype=None if hd is None else getattr(jnp, hd), data=data
+            )
             best = max(best, v)
         except Exception as e:  # noqa: BLE001
             log(f"config {kwargs} failed: {e}")
