@@ -168,6 +168,21 @@ def cv_fit(
         if parallel:
             raise NotImplementedError("parallel CV does not support offsets yet")
         offset_arr = np.asarray(offset, dtype=np.float64)
+    if parallel and fit_kwargs.get("family") == "poisson":
+        # the fold kernel builds its own Family and would miss the
+        # data-dependent poisson smoothness bound
+        raise NotImplementedError("parallel CV does not support the poisson family yet")
+    if parallel:
+        # the vectorized fold kernel ignores unknown kwargs — refuse rather
+        # than silently dropping constraints from the fold fits
+        unsupported = [
+            k for k in ("penalty_factor", "lower_limits", "upper_limits", "exclude", "sample_weight")
+            if fit_kwargs.get(k) is not None
+        ]
+        if unsupported:
+            raise NotImplementedError(
+                f"parallel CV does not support {unsupported} yet; use parallel=False"
+            )
 
     # full-data fit per alpha (reference R/cv_sgdnet.R:160-162)
     fits = [

@@ -20,7 +20,7 @@ from sgdnet_tpu.penalties import select_penalty
 from sgdnet_tpu.solver.saga import SagaState, SolverConfig, fit_path, init_state
 from sgdnet_tpu.solver.stepsize import power_iteration_sq_norm, saga_step_sizes
 
-FAMILIES = ("gaussian", "binomial", "multinomial", "mgaussian")
+FAMILIES = ("gaussian", "binomial", "poisson", "multinomial", "mgaussian")
 
 
 @dataclass
@@ -173,6 +173,11 @@ def fit(
     type_multinomial: str = "ungrouped",
     sample_weight=None,
     offset=None,
+    penalty_factor=None,
+    lower_limits=None,
+    upper_limits=None,
+    exclude=None,
+    poisson_smoothness=None,
     batch_size: int = 32,
     dtype=jnp.float32,
     seed: int = 0,
@@ -209,6 +214,18 @@ def fit(
     like glmnet; link families carry it through the solver, the null model,
     the null deviance, and lambda_max.  Predictions from an offset fit
     require `newoffset`.
+
+    `penalty_factor`, `lower_limits`/`upper_limits`, and `exclude` follow
+    glmnet semantics (all three are extensions; the reference has none):
+    `penalty_factor` is a nonnegative (p,) vector of per-feature multipliers
+    on both the L1 and L2 penalty, internally rescaled so its mean over
+    non-excluded features is 1 (glmnet rescales the sum to nvars — the same
+    thing); entries of 0 leave a feature unpenalized, entries of inf exclude
+    it.  `lower_limits`/`upper_limits` are scalar or (p,) coefficient bounds
+    on the ORIGINAL data scale (lower <= 0 <= upper required; the intercept
+    is never constrained).  `exclude` is a list of feature indices forced to
+    zero.  lambda_max accounts for penalty factors and exclusions; with
+    zero-penalty features the first path point is not all-zero, as in glmnet.
 
     With `mesh` (a 1-D `jax.sharding.Mesh` over a 'data' axis) the fit runs
     data-parallel: rows and gradient memory sharded across devices,
@@ -263,10 +280,86 @@ def fit(
     if nlambda == 0:
         raise ValueError("lambda path cannot be of zero length.")
 
+    # ---- penalty factors / exclusions / box constraints (glmnet-style
+    # extensions; the reference has none of the three) ----
+    excl_mask = None
+    if exclude is not None:
+        ex = np.atleast_1d(np.asarray(exclude, dtype=np.int64)).ravel()
+        if ex.size and (ex.min() < 0 or ex.max() >= n_features):
+            raise ValueError("exclude indices must be in [0, n_features)")
+        excl_mask = np.zeros(n_features, dtype=bool)
+        excl_mask[ex] = True
+
+    pf_np = None
+    if penalty_factor is not None:
+        pf_np = np.asarray(penalty_factor, dtype=np.float64).ravel()
+        if pf_np.shape != (n_features,):
+            raise ValueError("penalty_factor must have one entry per feature")
+        if (pf_np < 0).any() or np.isnan(pf_np).any():
+            raise ValueError("penalty_factor entries must be nonnegative")
+        inf_pf = np.isinf(pf_np)
+        if inf_pf.any():  # glmnet: infinite penalty factor == exclude
+            excl_mask = inf_pf if excl_mask is None else (excl_mask | inf_pf)
+            pf_np = np.where(inf_pf, 1.0, pf_np)
+
+    lower_np = upper_np = None
+    if lower_limits is not None:
+        lower_np = np.broadcast_to(
+            np.asarray(lower_limits, dtype=np.float64), (n_features,)
+        ).copy()
+        if (lower_np > 0).any():
+            raise ValueError("lower_limits must be <= 0 (coefficients start at zero)")
+    if upper_limits is not None:
+        upper_np = np.broadcast_to(
+            np.asarray(upper_limits, dtype=np.float64), (n_features,)
+        ).copy()
+        if (upper_np < 0).any():
+            raise ValueError("upper_limits must be >= 0 (coefficients start at zero)")
+
+    if col_perm is not None:  # hybrid layout permutes columns: user vectors
+        # are in ORIGINAL column order; internal column j is col_perm[j]
+        if pf_np is not None:
+            pf_np = pf_np[col_perm]
+        if excl_mask is not None:
+            excl_mask = excl_mask[col_perm]
+        if lower_np is not None:
+            lower_np = lower_np[col_perm]
+        if upper_np is not None:
+            upper_np = upper_np[col_perm]
+
+    if pf_np is not None:
+        # rescale: mean over non-excluded features = 1 (glmnet rescales the
+        # sum to nvars — identical up to exclusion bookkeeping)
+        sel = ~excl_mask if excl_mask is not None else np.ones(n_features, bool)
+        if sel.any():
+            m = float(pf_np[sel].mean())
+            if m > 0:
+                pf_np = pf_np / m
+
+    lam_col_mult = None
+    if pf_np is not None or excl_mask is not None:
+        base = pf_np if pf_np is not None else np.ones(n_features)
+        penalized = base > 0
+        if excl_mask is not None:
+            penalized &= ~excl_mask
+        lam_col_mult = jnp.asarray(
+            np.where(penalized, 1.0 / np.maximum(base, 1e-300), 0.0)
+        )
+
     # ---- response encoding (reference R/sgdnet.R:277-339) ----
     fam = get_family(family, standardize_response=standardize_response)
     y_enc, classnames = fam.encode(y_arr)
     n_classes = fam.n_classes
+
+    if family == "poisson":
+        # data-dependent curvature bound for the exp link (see families.py
+        # Poisson docstring); power-of-two rounding bounds jit retraces
+        if poisson_smoothness is None:
+            ym = y_enc[:, 0]
+            bound = max(float(ym.max()) * 2.0, float(ym.mean()) * 4.0, 2.0)
+        else:
+            bound = float(poisson_smoothness)
+        fam = get_family("poisson", smoothness=float(2.0 ** np.ceil(np.log2(bound))))
 
     # ---- linear-predictor offset (extension; documented-but-unimplemented
     # in the reference, R/sgdnet.R:341-342) ----
@@ -351,16 +444,42 @@ def fit(
     y_proc = y_proc64.astype(dtype)
     offs64 = None if offs_link64 is None else offs_link64 / y_scale[None, :]
 
+    # ---- internal coefficient bounds on the standardized solver scale:
+    # beta_orig = w_std * y_scale / x_scale, so bounds map by x_scale/y_scale;
+    # excluded features are pinned at [0, 0] ----
+    box = None
+    pf_dev = None if pf_np is None else jnp.asarray(pf_np, dtype)
+    if lower_np is not None or upper_np is not None or excl_mask is not None:
+        lo = lower_np if lower_np is not None else np.full(n_features, -np.inf)
+        hi = upper_np if upper_np is not None else np.full(n_features, np.inf)
+        if excl_mask is not None:
+            lo, hi = lo.copy(), hi.copy()
+            lo[excl_mask] = 0.0
+            hi[excl_mask] = 0.0
+        if (lo > hi).any():
+            raise ValueError("lower_limits must be <= upper_limits")
+        xs_np = np.asarray(x_scale, dtype=np.float64)
+        ys_np = np.asarray(y_scale, dtype=np.float64)
+        box = (
+            jnp.asarray(lo[None, :] * xs_np[None, :] / ys_np[:, None], dtype),
+            jnp.asarray(hi[None, :] * xs_np[None, :] / ys_np[:, None], dtype),
+        )
+
     # ---- lambda path (reference src/utils.h:142-181) ----
     if lambda_path is None:
         if offs64 is not None:
             from sgdnet_tpu.families.families import lambda_max_offset
 
             lam_max = float(
-                lambda_max_offset(fam, x, y_proc64, offs64, y_scale, intercept, w64, b0=b0_offs)
+                lambda_max_offset(
+                    fam, x, y_proc64, offs64, y_scale, intercept, w64, b0=b0_offs,
+                    col_mult=lam_col_mult,
+                )
             ) / max(alpha, 0.001)
         else:
-            lam_max = float(fam.lambda_max(x, y_proc64, y_scale, w64)) / max(alpha, 0.001)
+            lam_max = float(
+                fam.lambda_max(x, y_proc64, y_scale, w64, col_mult=lam_col_mult)
+            ) / max(alpha, 0.001)
         if lam_max > 0.0 and np.isfinite(lam_max):
             if lambda_min_ratio is None:
                 lambda_min_ratio = 0.01 if n_samples < n_features else 1e-4
@@ -517,10 +636,14 @@ def fit(
     if screen:
         # sequential strong-rule screening with KKT safety checks
         # (solver/screening.py) — dense, single-device, l1 > 0 paths only
-        if mesh is not None or is_sparse or alpha == 0.0 or debug or offs_dev is not None:
+        if (
+            mesh is not None or is_sparse or alpha == 0.0 or debug
+            or offs_dev is not None or pf_dev is not None or box is not None
+        ):
             raise ValueError(
                 "screen=True requires a dense design matrix, a single device, "
-                "alpha > 0, debug=False, and no link-family offset"
+                "alpha > 0, debug=False, no link-family offset, and no "
+                "penalty factors / coefficient limits / exclusions"
             )
         from types import SimpleNamespace
 
@@ -539,7 +662,9 @@ def fit(
             losses=np.zeros((len(l1s), 0)),
         )
     elif mesh is None:
-        state, n_iter, results = fit_path(x, y_proc, weights, xc, *path_args, offs=offs_dev)
+        state, n_iter, results = fit_path(
+            x, y_proc, weights, xc, *path_args, offs=offs_dev, pf=pf_dev, box=box
+        )
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -553,7 +678,7 @@ def fit(
         )
         path_args = path_args[:5] + (state0,) + path_args[6:]
         state, n_iter, results = fit_path_sharded(
-            x, y_proc, weights, xc, *path_args, mesh=mesh, offs=offs_dev
+            x, y_proc, weights, xc, *path_args, mesh=mesh, offs=offs_dev, pf=pf_dev, box=box
         )
 
     # ---- rescale to original units (reference src/utils.h:352-378) ----
@@ -644,5 +769,10 @@ def fit(
         sampling=sampling,
         sample_weight=weights_np if sample_weight is not None else None,
         offset=offset_arr if offset_arr is not None else None,
+        penalty_factor=penalty_factor,
+        lower_limits=lower_limits,
+        upper_limits=upper_limits,
+        exclude=exclude,
+        poisson_smoothness=poisson_smoothness,
     )
     return fit_obj

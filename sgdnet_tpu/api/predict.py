@@ -168,6 +168,13 @@ def predict(
         out = lp[:, 0, :]
         return out  # link == response
 
+    if family == "poisson":
+        out = lp[:, 0, :]
+        if type == "link":
+            return out
+        if type == "response":
+            return np.exp(out)  # expected counts
+
     if family == "binomial":
         out = lp[:, 0, :]
         if type in ("link",):

@@ -89,6 +89,20 @@ def score(fit, x, y, type_measure: str = "deviance", s=None, offset=None):
             return (r**2).mean(axis=0)
         return np.abs(r).mean(axis=0)
 
+    if family == "poisson":
+        if type_measure not in ("deviance", "mse", "mae"):
+            raise ValueError(f"type_measure '{type_measure}' not available for poisson")
+        y = np.asarray(y, dtype=np.float64).reshape(-1)
+        mu = np.exp(predict(fit, x, s=s, newoffset=offset))  # (n, n_s)
+        if type_measure == "mse":
+            return ((mu - y[:, None]) ** 2).mean(axis=0)
+        if type_measure == "mae":
+            return np.abs(mu - y[:, None]).mean(axis=0)
+        # mean unit deviance 2*(y log(y/mu) - (y - mu)), xlogy(0, .) == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ylog = np.where(y[:, None] > 0, y[:, None] * np.log(y[:, None] / mu), 0.0)
+        return (2.0 * (ylog - (y[:, None] - mu))).mean(axis=0)
+
     if family == "binomial":
         if type_measure not in ("deviance", "mse", "mae", "class", "auc"):
             raise ValueError(f"type_measure '{type_measure}' not available for binomial")

@@ -108,10 +108,13 @@ class Family:
             losses = losses * weights
         return 2.0 * jnp.sum(losses)
 
-    def lambda_max(self, x, y: jnp.ndarray, y_scale: jnp.ndarray, weights=None) -> jnp.ndarray:
+    def lambda_max(self, x, y: jnp.ndarray, y_scale: jnp.ndarray, weights=None, col_mult=None) -> jnp.ndarray:
         """Largest lambda on the auto path (family-specific).  With
         observation weights, inner products and moments are weighted and the
-        divisor is the total weight instead of n."""
+        divisor is the total weight instead of n.  `col_mult` is an optional
+        (p,) per-feature multiplier on the null-gradient statistic —
+        1/penalty_factor, with 0 for excluded/unpenalized features (glmnet
+        `penalty.factor` semantics)."""
         raise NotImplementedError
 
     # ----- offset-aware null model (extension; the reference documents an
@@ -138,7 +141,17 @@ class Family:
         return 2.0 * jnp.sum(losses)
 
 
-def lambda_max_offset(fam: Family, x, y: jnp.ndarray, offs: jnp.ndarray, y_scale: jnp.ndarray, fit_intercept: bool, weights=None, b0=None) -> jnp.ndarray:
+def _apply_col_mult(inner, col_mult):
+    """Per-feature multiplier on the (p, k) null-gradient statistic.
+    Penalty factors enter lambda_max as 1/pf_j; excluded or unpenalized
+    (pf_j = 0) features get multiplier 0 — they never leave the model, so
+    they do not set the path start (glmnet does the same)."""
+    if col_mult is None:
+        return inner
+    return inner * col_mult.astype(inner.dtype)[:, None]
+
+
+def lambda_max_offset(fam: Family, x, y: jnp.ndarray, offs: jnp.ndarray, y_scale: jnp.ndarray, fit_intercept: bool, weights=None, b0=None, col_mult=None) -> jnp.ndarray:
     """Generic lambda_max = max-norm of the null-model gradient.
 
     Every family-specific `lambda_max` above equals the (weighted) gradient
@@ -158,7 +171,7 @@ def lambda_max_offset(fam: Family, x, y: jnp.ndarray, offs: jnp.ndarray, y_scale
     else:
         W = y.shape[0]
     inner = _xty(x, g) * y_scale[None, :].astype(jnp.float64)
-    return jnp.max(jnp.abs(inner)) / W
+    return jnp.max(jnp.abs(_apply_col_mult(inner, col_mult))) / W
 
 
 class Gaussian(Family):
@@ -196,12 +209,15 @@ class Gaussian(Family):
     def null_intercept(self, y, fit_intercept, weights=None):
         return _wmean(y, weights)
 
-    def lambda_max(self, x, y, y_scale, weights=None):
+    def lambda_max(self, x, y, y_scale, weights=None, col_mult=None):
         # y here is the standardized response (reference src/families.h:119-126)
         if weights is None:
-            return y_scale[0] * jnp.max(jnp.abs(_xty(x, y))) / y.shape[0]
-        W = jnp.maximum(jnp.sum(weights), 1e-12)
-        return y_scale[0] * jnp.max(jnp.abs(_xty(x, y * weights.reshape(-1, 1)))) / W
+            W = y.shape[0]
+            inner = _xty(x, y)
+        else:
+            W = jnp.maximum(jnp.sum(weights), 1e-12)
+            inner = _xty(x, y * weights.reshape(-1, 1))
+        return y_scale[0] * jnp.max(jnp.abs(_apply_col_mult(inner, col_mult))) / W
 
 
 class Binomial(Family):
@@ -273,19 +289,110 @@ class Binomial(Family):
         (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=80)
         return 0.5 * (lo + hi)
 
-    def lambda_max(self, x, y, y_scale, weights=None):
+    def lambda_max(self, x, y, y_scale, weights=None, col_mult=None):
         # standardize the 0/1 response, then y_std * max|x^T y_map| / n
         # (reference src/families.h:203-220)
         if weights is None:
-            n = y.shape[0]
+            W = y.shape[0]
             y_bar = column_mean(y)
             y_std = column_sd(y, y_bar)
             y_map = (y - y_bar) / y_std
-            return y_std[0] * jnp.max(jnp.abs(_xty(x, y_map))) / n
-        W = jnp.maximum(jnp.sum(weights), 1e-12)
-        y_bar, y_std = _wstats(y, weights)
-        y_map = (y - y_bar) / y_std * weights.reshape(-1, 1)
-        return y_std[0] * jnp.max(jnp.abs(_xty(x, y_map))) / W
+        else:
+            W = jnp.maximum(jnp.sum(weights), 1e-12)
+            y_bar, y_std = _wstats(y, weights)
+            y_map = (y - y_bar) / y_std * weights.reshape(-1, 1)
+        inner = _apply_col_mult(_xty(x, y_map), col_mult)
+        return y_std[0] * jnp.max(jnp.abs(inner)) / W
+
+
+class Poisson(Family):
+    """Log-link Poisson regression for count responses (extension: the
+    reference has no Poisson family; glmnet does, and count models with
+    log-exposure offsets are its canonical use).
+
+    The Poisson negative log-likelihood has no *global* smoothness constant
+    (d2/dlp2 = exp(lp) is unbounded), so SAGA's fixed step size needs a
+    data-dependent curvature bound: `smoothness` caps the per-sample rate
+    mu = exp(lp) — the linear predictor is clamped at log(smoothness)
+    inside the exp, making the gradient Lipschitz with constant
+    `smoothness` exactly, and `fit()` sets it from the response scale
+    (~2x the max count, rounded to a power of two so jit retraces are
+    bounded).  Near the optimum mu is on the scale of y, so the clamp is
+    inactive where it matters; it only tames early iterates.
+
+    The loss includes the saturated-model terms (y log y - y), so
+    deviance = 2*sum(loss) is the true Poisson deviance and dev_ratio
+    matches glmnet's definition.
+    """
+
+    name = "poisson"
+    L_scaling = 1.0  # overridden per-fit via `smoothness`
+
+    def __init__(self, n_classes: int = 1, smoothness: float = 1.0):
+        super().__init__(1)
+        self.smoothness = float(smoothness)
+        self.L_scaling = self.smoothness
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.n_classes, self.smoothness))
+
+    def __eq__(self, other):
+        return (
+            type(self) is type(other)
+            and self.n_classes == other.n_classes
+            and self.smoothness == other.smoothness
+        )
+
+    def encode(self, y_raw):
+        y = np.asarray(y_raw, dtype=np.float64)
+        if y.ndim == 2 and y.shape[1] == 1:
+            y = y[:, 0]
+        if y.ndim != 1:
+            raise ValueError("poisson response must be a vector")
+        if (y < 0).any():
+            raise ValueError("negative values not allowed for the 'poisson' family")
+        return y.reshape(-1, 1), None
+
+    def _mu(self, lp):
+        # clamp INSIDE the exp: rates capped at the smoothness bound, which
+        # is precisely what makes the fixed SAGA step size valid
+        return jnp.exp(jnp.minimum(lp, jnp.log(self.smoothness)))
+
+    def loss(self, lp, y):
+        mu_log = jnp.minimum(lp[:, 0], jnp.log(self.smoothness))
+        yv = y[:, 0]
+        # mu - y*log(mu) + y*log(y) - y  (== half the unit deviance)
+        ylogy = jnp.where(yv > 0, yv * jnp.log(jnp.maximum(yv, 1e-300)), 0.0)
+        return jnp.exp(mu_log) - yv * mu_log + ylogy - yv
+
+    def gradient(self, lp, y):
+        return self._mu(lp) - y
+
+    def null_intercept(self, y, fit_intercept, weights=None):
+        if not fit_intercept:
+            return jnp.zeros((1,), y.dtype)
+        return jnp.log(jnp.maximum(_wmean(y, weights), 1e-10))
+
+    def null_intercept_offset(self, y, offs, fit_intercept, weights=None):
+        # closed form: sum w*(exp(b + o) - y) = 0  =>  b = log(swy / swe)
+        if not fit_intercept:
+            return jnp.zeros((1,), y.dtype)
+        w = jnp.ones((y.shape[0], 1), y.dtype) if weights is None else weights.reshape(-1, 1)
+        swy = jnp.sum(w * y)
+        swe = jnp.sum(w * jnp.exp(offs))
+        return jnp.log(jnp.maximum(swy, 1e-10) / jnp.maximum(swe, 1e-300)).reshape(1)
+
+    def lambda_max(self, x, y, y_scale, weights=None, col_mult=None):
+        # max-norm of the null-model gradient x^T (mu0 - y), mu0 = weighted
+        # mean of y (same structure as the other families' null gradients)
+        if weights is None:
+            W = y.shape[0]
+            resid = _wmean(y, None)[None, :] - y
+        else:
+            W = jnp.maximum(jnp.sum(weights), 1e-12)
+            resid = (_wmean(y, weights)[None, :] - y) * weights.reshape(-1, 1)
+        inner = _apply_col_mult(_xty(x, resid), col_mult)
+        return jnp.max(jnp.abs(inner)) / W
 
 
 class Multinomial(Family):
@@ -348,20 +455,19 @@ class Multinomial(Family):
         b, _ = jax.lax.scan(body, b0, None, length=100)
         return b - jnp.mean(b)
 
-    def lambda_max(self, x, y, y_scale, weights=None):
+    def lambda_max(self, x, y, y_scale, weights=None, col_mult=None):
         # one-hot indicator standardized per class; per-class inner products
         # rescaled by that class's SD (reference src/families.h:300-325)
         if weights is None:
-            n = y.shape[0]
+            W = y.shape[0]
             y_bar = column_mean(y)
             y_std = column_sd(y, y_bar)
             y_map = (y - y_bar) / y_std
-            inner = _xty(x, y_map) * y_std
-            return jnp.max(jnp.abs(inner)) / n
-        W = jnp.maximum(jnp.sum(weights), 1e-12)
-        y_bar, y_std = _wstats(y, weights)
-        y_map = (y - y_bar) / y_std * weights.reshape(-1, 1)
-        inner = _xty(x, y_map) * y_std
+        else:
+            W = jnp.maximum(jnp.sum(weights), 1e-12)
+            y_bar, y_std = _wstats(y, weights)
+            y_map = (y - y_bar) / y_std * weights.reshape(-1, 1)
+        inner = _apply_col_mult(_xty(x, y_map) * y_std, col_mult)
         return jnp.max(jnp.abs(inner)) / W
 
 
@@ -409,35 +515,40 @@ class MultivariateGaussian(Family):
     def null_intercept(self, y, fit_intercept, weights=None):
         return _wmean(y, weights)
 
-    def lambda_max(self, x, y, y_scale, weights=None):
+    def lambda_max(self, x, y, y_scale, weights=None, col_mult=None):
         # per-class standardized inner products, rescaled, then the max
-        # per-feature L2 norm over classes (reference src/families.h:387-406)
+        # per-feature L2 norm over classes (reference src/families.h:387-406);
+        # col_mult (>= 0) commutes with the class norm, so it applies to inner
         if weights is None:
             n = y.shape[0]
             y_bar = column_mean(y)
             y_std = column_sd(y, y_bar)
             y_map = (y - y_bar) / y_std
-            inner = _xty(x, y_map) * (y_scale * y_std)
+            inner = _apply_col_mult(_xty(x, y_map) * (y_scale * y_std), col_mult)
             return jnp.max(jnp.sqrt(jnp.sum(inner**2, axis=1))) / n
         W = jnp.maximum(jnp.sum(weights), 1e-12)
         y_bar, y_std = _wstats(y, weights)
         y_map = (y - y_bar) / y_std * weights.reshape(-1, 1)
-        inner = _xty(x, y_map) * (y_scale * y_std)
+        inner = _apply_col_mult(_xty(x, y_map) * (y_scale * y_std), col_mult)
         return jnp.max(jnp.sqrt(jnp.sum(inner**2, axis=1))) / W
 
 
 _FAMILIES = {
     "gaussian": Gaussian,
     "binomial": Binomial,
+    "poisson": Poisson,
     "multinomial": Multinomial,
     "mgaussian": MultivariateGaussian,
 }
 
 
-def get_family(name: str, n_classes: int = 1, standardize_response: bool = False) -> Family:
-    """Family factory (reference src/sgdnet.cpp:298-335)."""
+def get_family(name: str, n_classes: int = 1, standardize_response: bool = False, smoothness: float = 1.0) -> Family:
+    """Family factory (reference src/sgdnet.cpp:298-335; poisson is an
+    extension — `smoothness` is its per-sample curvature bound)."""
     if name not in _FAMILIES:
         raise ValueError(f"unknown family '{name}'; choose from {sorted(_FAMILIES)}")
     if name == "mgaussian":
         return MultivariateGaussian(n_classes, standardize_response)
+    if name == "poisson":
+        return Poisson(1, smoothness)
     return _FAMILIES[name](n_classes)

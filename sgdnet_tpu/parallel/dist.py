@@ -112,10 +112,13 @@ def fit_path_sharded(
     config: SolverConfig,
     mesh: Mesh,
     offs=None,
+    pf=None,
+    box=None,
 ):
     """shard_map-wrapped fit_path: one compiled SPMD program for the whole
     warm-started lambda path.  `offs` is an optional row-sharded (n_pad, k)
-    linear-predictor offset."""
+    linear-predictor offset; `pf` / `box` are replicated per-feature penalty
+    factors / coefficient bounds (see solver.saga.fit_path)."""
     assert config.axis_name == AXIS
     state_specs = SagaState(
         w=P(None, None),
@@ -136,6 +139,8 @@ def fit_path_sharded(
         P(None),  # key
         state_specs,
         P(AXIS, None) if offs is not None else None,  # offset row-sharded
+        P(None) if pf is not None else None,  # penalty factors replicated
+        (P(None, None), P(None, None)) if box is not None else None,  # bounds replicated
     )
     out_specs = (
         state_specs,
@@ -150,7 +155,7 @@ def fit_path_sharded(
         ),
     )
 
-    def local_fit(x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l, offs_l):
+    def local_fit(x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l, offs_l, pf_l, box_l):
         # shard_map hands back locally-shaped leaves; fix logical row counts
         n_local = y_l.shape[0]
         if isinstance(x_l, HybridCSR):
@@ -162,11 +167,11 @@ def fit_path_sharded(
             x_l = PaddedCSR(x_l.indices, x_l.values, x_l.nnz, n_local, x_l.n_cols)
         return fit_path(
             x_l, y_l, w_l, xc_l, gammas, l1s, l2s, tol, key, state_l, family, penalty, config,
-            offs=offs_l,
+            offs=offs_l, pf=pf_l, box=box_l,
         )
 
     try:  # jax >= 0.8 uses check_vma; older versions check_rep
         fn = shard_map(local_fit, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
     except TypeError:
         fn = shard_map(local_fit, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
-    return fn(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, offs)
+    return fn(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, offs, pf, box)

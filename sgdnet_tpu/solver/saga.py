@@ -252,7 +252,7 @@ def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, config: Solve
 # ---------------------------------------------------------------------------
 
 
-def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, config: SolverConfig, offs=None):
+def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, config: SolverConfig, offs=None, pf=None, box=None):
     B = config.batch_size
 
     # fused Pallas head kernel: only for f32 dense/hybrid with supported tiles
@@ -329,8 +329,18 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
         # collective per step — the rank-B update rides ICI once per batch
         corr = _psum(corr, config)
         grad_est = corr / bw + state.g_sum
-        w_half = state.w * (1.0 - gamma * l2) - gamma * grad_est
-        w_new = penalty.prox(w_half, gamma * l1)
+        # per-feature penalty factors scale both the L2 decay and the prox
+        # threshold (glmnet `penalty.factor` semantics; extension — absent
+        # in the reference); pf is (p,), broadcast over classes
+        l2_decay = gamma * l2 if pf is None else gamma * l2 * pf
+        w_half = state.w * (1.0 - l2_decay) - gamma * grad_est
+        w_new = penalty.prox(w_half, gamma * l1 if pf is None else gamma * l1 * pf)
+        if box is not None:
+            # box constraints (glmnet lower.limits/upper.limits): project onto
+            # [lo, hi] after the prox.  Exact composite prox for separable
+            # penalties (soft-threshold then clip IS prox of l1 + indicator);
+            # for the group prox it is the standard projection heuristic.
+            w_new = jnp.clip(w_new, box[0], box[1])
         g_sum = state.g_sum + corr / w_total
 
         if config.fit_intercept:
@@ -368,12 +378,12 @@ def _refresh_g_sum(x, xc, weights, w_total, state: SagaState, config: SolverConf
     return state._replace(g_sum=g_sum, g_sum_intercept=col_sum / w_total)
 
 
-def _make_epoch(x, y, weights, xc, w_total, family, penalty, config: SolverConfig, offs=None):
+def _make_epoch(x, y, weights, xc, w_total, family, penalty, config: SolverConfig, offs=None, pf=None, box=None):
     n_pad = y.shape[0]
     B = config.batch_size
     assert n_pad % B == 0, "n_pad must be a multiple of batch_size"
     n_batches = n_pad // B
-    step = _make_step(x, y, weights, xc, w_total, family, penalty, config, offs=offs)
+    step = _make_step(x, y, weights, xc, w_total, family, penalty, config, offs=offs, pf=pf, box=box)
 
     def epoch(state: SagaState, key, gamma, l1, l2, it=None):
         if config.axis_name is not None:
@@ -439,6 +449,8 @@ def fit_path(
     penalty: Penalty,
     config: SolverConfig,
     offs=None,
+    pf=None,
+    box=None,
 ) -> tuple[SagaState, jnp.ndarray, PathResults]:
     """Fit the whole lambda path in one compiled computation.
 
@@ -450,17 +462,21 @@ def fit_path(
 
     `offs` is an optional fixed (n_pad, k) offset added to every linear
     predictor (extension; documented-but-unimplemented in the reference,
-    R/sgdnet.R:341-342).
+    R/sgdnet.R:341-342).  `pf` is an optional (p,) per-feature penalty-factor
+    vector and `box` an optional (lo, hi) pair of (k, p) coefficient bounds
+    on the solver's standardized scale (glmnet `penalty.factor` /
+    `lower.limits`/`upper.limits` semantics; both absent in the reference).
     """
     with jax.default_matmul_precision(config.matmul_precision):
         return _fit_path_impl(
-            x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config, offs
+            x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config, offs,
+            pf, box,
         )
 
 
-def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config, offs=None):
+def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config, offs=None, pf=None, box=None):
     w_total = jnp.maximum(_psum(jnp.sum(weights), config), 1e-12)
-    epoch_fn = _make_epoch(x, y, weights, xc, w_total, family, penalty, config, offs=offs)
+    epoch_fn = _make_epoch(x, y, weights, xc, w_total, family, penalty, config, offs=offs, pf=pf, box=box)
     max_iter = config.max_iter
 
     def fit_one(state: SagaState, gamma, l1, l2, lam_key):
