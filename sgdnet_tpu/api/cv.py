@@ -100,6 +100,7 @@ _MEASURE_NAMES = {
         "gaussian": "Mean-Squared Error",
         "mgaussian": "Mean-Squared Error",
         "binomial": "Binomial Deviance",
+        "poisson": "Poisson Deviance",
         "multinomial": "Multinomial Deviance",
     },
     "mse": "Mean-Squared Error",
@@ -168,6 +169,15 @@ def cv_fit(
         if parallel:
             raise NotImplementedError("parallel CV does not support offsets yet")
         offset_arr = np.asarray(offset, dtype=np.float64)
+
+    # observation weights: full-data fits take the whole vector; fold fits
+    # the training subset (scores stay unweighted, like the reference's
+    # score(); glmnet additionally weights the CV means)
+    sw_arr = fit_kwargs.pop("sample_weight", None)
+    if sw_arr is not None:
+        sw_arr = np.asarray(sw_arr, dtype=np.float64)
+        if sw_arr.shape != (n_samples,):
+            raise ValueError("sample_weight must have one entry per sample")
     if parallel and fit_kwargs.get("family") == "poisson":
         # the fold kernel builds its own Family and would miss the
         # data-dependent poisson smoothness bound
@@ -176,9 +186,11 @@ def cv_fit(
         # the vectorized fold kernel ignores unknown kwargs — refuse rather
         # than silently dropping constraints from the fold fits
         unsupported = [
-            k for k in ("penalty_factor", "lower_limits", "upper_limits", "exclude", "sample_weight")
+            k for k in ("penalty_factor", "lower_limits", "upper_limits", "exclude")
             if fit_kwargs.get(k) is not None
         ]
+        if sw_arr is not None:
+            unsupported.append("sample_weight")
         if unsupported:
             raise NotImplementedError(
                 f"parallel CV does not support {unsupported} yet; use parallel=False"
@@ -188,7 +200,7 @@ def cv_fit(
     fits = [
         fit_fn(
             x, y, alpha=float(alphas[i]), lambda_path=lambda_list[i], offset=offset_arr,
-            **fit_kwargs,
+            sample_weight=sw_arr, **fit_kwargs,
         )
         for i in range(n_alpha)
     ]
@@ -240,9 +252,10 @@ def cv_fit(
                 o_tr = o_te = None
                 if offset_arr is not None:
                     o_tr, o_te = offset_arr[train], offset_arr[test]
+                sw_tr = sw_arr[train] if sw_arr is not None else None
                 f = fit_fn(
                     x_tr, y_tr, alpha=float(alphas[i]), lambda_path=lambda_list[i],
-                    offset=o_tr, **fit_kwargs,
+                    offset=o_tr, sample_weight=sw_tr, **fit_kwargs,
                 )
                 scores[j] = score_fn(f, x_te, y_te, type_measure, s=lambda_list[i], offset=o_te)
         cv_raw.append(scores)

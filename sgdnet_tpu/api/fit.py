@@ -209,7 +209,8 @@ def fit(
     seed control.
 
     `offset` is a fixed per-sample term added to the linear predictor:
-    shape (n,) for gaussian/binomial, (n, k) for multinomial/mgaussian.
+    shape (n,) for gaussian/binomial/poisson, (n, k) for
+    multinomial/mgaussian.  For poisson pass log-exposure offsets.
     Identity-link families absorb it into the response (y - offset), exactly
     like glmnet; link families carry it through the solver, the null model,
     the null deviance, and lambda_max.  Predictions from an offset fit
@@ -597,7 +598,10 @@ def fit(
         )
 
     if intercept_decay is None:
-        intercept_decay = 0.01 if is_sparse else 1.0
+        # reference sparse quirk (src/saga-sparse.h:300-304) — but not for
+        # poisson: the exp link makes every rate exponentially sensitive to
+        # the intercept, and a 100x-damped intercept stalls the whole fit
+        intercept_decay = 0.01 if (is_sparse and family != "poisson") else 1.0
     if sparse_mode is None:
         sparse_mode = "densify" if n_features <= 8192 else "gather"
 
