@@ -402,13 +402,16 @@ def fit(
 
     # ---- feature standardization (reference src/sgdnet.cpp:143-151) ----
     xc = None  # sparse centering correction term (center/scale)
+    # weighted stats everywhere (same formula as the dense path; for unit
+    # weights it reduces to the reference's unweighted stats exactly)
+    w_stats = None if sample_weight is None else jnp.asarray(weights_np)
     if standardize:
         if isinstance(x, HybridCSR):
-            x_center, x_scale = x.column_stats()
+            x_center, x_scale = x.column_stats(w_stats)
             x, xc = x.standardize(x_center, x_scale)
             xc = xc.astype(dtype)
         elif is_sparse:
-            x_center64, x_scale64 = x.column_stats()
+            x_center64, x_scale64 = x.column_stats(w_stats)
             x = x.scale_columns(x_scale64)
             xc = (x_center64 / x_scale64).astype(dtype)
             x_center, x_scale = x_center64, x_scale64
@@ -664,6 +667,7 @@ def fit(
             n_epochs=it_scr,
             return_codes=codes_scr,
             losses=np.zeros((len(l1s), 0)),
+            clamp_gap=np.zeros(len(l1s)),
         )
     elif mesh is None:
         state, n_iter, results = fit_path(
@@ -729,6 +733,22 @@ def fit(
     else:  # degenerate constant-response case
         dev_ratio = np.zeros_like(dev)
 
+    clamp_gap = np.asarray(getattr(results, "clamp_gap", np.zeros(1)), dtype=np.float64)
+    if family == "poisson" and (
+        np.nanmax(np.abs(clamp_gap)) > 1e-6 * max(abs(null_dev_scaled), 1.0)
+        or not np.isfinite(dev).all()
+    ):
+        import warnings
+
+        warnings.warn(
+            "the poisson smoothness clamp is active at the fitted solution "
+            "for at least one lambda: the reported deviance is exact but the "
+            "solver optimized the clamped objective — refit with a larger "
+            "`poisson_smoothness` for a reliable fit.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
     nz = np.abs(beta) > 0
     df = nz.any(axis=1).sum(axis=1)  # features nonzero in any class
     dfmat = nz.sum(axis=2).T if n_classes > 1 else None  # (k, nl)
@@ -778,5 +798,17 @@ def fit(
         upper_limits=upper_limits,
         exclude=exclude,
         poisson_smoothness=poisson_smoothness,
+        # layout / performance options — a refit (predict(exact=True)) must
+        # run on the same layout and device placement as the original fit
+        mesh=mesh,
+        hybrid=hybrid,
+        hybrid_coverage=hybrid_coverage,
+        hybrid_max_head=hybrid_max_head,
+        hybrid_memory_budget=hybrid_memory_budget,
+        hybrid_head_dtype=hybrid_head_dtype,
+        sparse_mode=sparse_mode,
+        g_sum_refresh_every=g_sum_refresh_every,
+        use_pallas=use_pallas,
+        intercept_decay=intercept_decay,
     )
     return fit_obj

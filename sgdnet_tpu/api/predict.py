@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from sgdnet_tpu.core.sparse import PaddedCSR
+from sgdnet_tpu.core.sparse import HybridCSR, PaddedCSR
 
 
 def lambda_interpolate(lambda_path: np.ndarray, s: np.ndarray):
@@ -129,9 +129,8 @@ def predict(
         )
 
     sparse_newx = False
-    if isinstance(newx, PaddedCSR):
-        newx = np.asarray(newx.to_dense())
-    else:
+    padded_newx = isinstance(newx, (PaddedCSR, HybridCSR))
+    if not padded_newx:
         try:
             import scipy.sparse as sp
 
@@ -142,9 +141,20 @@ def predict(
             newx = np.asarray(newx, dtype=np.float64)
             if newx.ndim == 1:
                 newx = newx.reshape(1, -1)
+            # NaN rows are allowed and propagate to NaN predictions
+            # (reference test-predictions.R:109-125 NA semantics)
 
     # (n_new, k, n_s)
-    if sparse_newx:
+    if padded_newx:
+        import jax.numpy as jnp
+
+        n_new = newx.shape[0]
+        lp = np.empty((n_new, k, n_s))
+        vdtype = newx.values.dtype if isinstance(newx, PaddedCSR) else newx.tail.values.dtype
+        for kk in range(k):  # device matmul per class, no densify
+            lp[:, kk, :] = np.asarray(newx.matmul_dense(jnp.asarray(beta[:, kk, :].T, vdtype)))
+        lp = lp + a0_2d.T[None, :, :]
+    elif sparse_newx:
         n_new = newx.shape[0]
         lp = np.empty((n_new, k, n_s))
         for kk in range(k):  # sparse matmul per class, no densify
@@ -183,7 +193,10 @@ def predict(
             return 1.0 / (1.0 + np.exp(-out))
         if type == "class":
             names = fit.classnames or ["0", "1"]
-            return np.asarray(names)[(out > 0).astype(int)]
+            cls = np.asarray(names, dtype=object)[(out > 0).astype(int)]
+            cls[np.isnan(out)] = np.nan  # NA rows -> NA class (reference
+            # test-predictions.R:109-125 NA propagation)
+            return cls
 
     if family == "multinomial":
         if type == "link":
@@ -193,8 +206,10 @@ def predict(
             e = np.exp(lp - m)
             return e / e.sum(axis=1, keepdims=True)
         if type == "class":
-            names = np.asarray(fit.classnames or [str(i) for i in range(k)])
-            return names[np.argmax(lp, axis=1)]
+            names = np.asarray(fit.classnames or [str(i) for i in range(k)], dtype=object)
+            cls = names[np.argmax(lp, axis=1)]
+            cls[np.isnan(lp).any(axis=1)] = np.nan  # NA propagation
+            return cls
 
     if family == "mgaussian":
         return lp  # link == response

@@ -98,16 +98,28 @@ class PaddedCSR:
     def total_nnz(self) -> int:
         return int(np.asarray(self.nnz).sum())
 
-    def column_stats(self):
+    def column_stats(self, weights=None):
         """Sparse-aware per-column (mean, population SD) counting implicit
-        zeros; zero-variance columns get SD 1.0 (reference src/math.h:89-112)."""
+        zeros; zero-variance columns get SD 1.0 (reference src/math.h:89-112).
+
+        With `weights` (n,) given, the weighted mean/SD (sum w_i x_ij / W and
+        sum w_i (x_ij - mean)^2 / W) — implicit zeros still counted, so only
+        the nonzeros are touched: the weighted analog of the reference's
+        sparse-aware variance."""
         n, p = self.shape
         flat_idx = self.indices.reshape(-1)
         flat_val = self.values.reshape(-1).astype(jnp.float64)
-        sums = jnp.zeros((p,), dtype=jnp.float64).at[flat_idx].add(flat_val)
-        sq_sums = jnp.zeros((p,), dtype=jnp.float64).at[flat_idx].add(flat_val**2)
-        mean = sums / n
-        var = sq_sums / n - mean**2
+        if weights is None:
+            w_flat = 1.0
+            W = jnp.asarray(float(n), jnp.float64)
+        else:
+            w = weights.astype(jnp.float64)
+            w_flat = jnp.repeat(w, self.row_width)
+            W = jnp.maximum(jnp.sum(w), 1e-12)
+        sums = jnp.zeros((p,), dtype=jnp.float64).at[flat_idx].add(w_flat * flat_val)
+        sq_sums = jnp.zeros((p,), dtype=jnp.float64).at[flat_idx].add(w_flat * flat_val**2)
+        mean = sums / W
+        var = sq_sums / W - mean**2
         var = jnp.maximum(var, 0.0)
         sd = jnp.where(var == 0.0, 1.0, jnp.sqrt(var))
         return mean, sd
@@ -269,13 +281,20 @@ class HybridCSR:
         tail = PaddedCSR(jnp.asarray(ti), jnp.asarray(tv, dtype=dtype), jnp.asarray(t_nnz), n, p)
         return cls(jnp.asarray(head, head_dtype if head_dtype is not None else dtype), tail, n, p), perm
 
-    def column_stats(self):
-        """Per-column (mean, population SD); head densely, tail sparse-aware."""
+    def column_stats(self, weights=None):
+        """Per-column (mean, population SD); head densely, tail sparse-aware.
+        With `weights` (n,): weighted stats (see PaddedCSR.column_stats)."""
         h = self.head.astype(jnp.float64)
-        h_mean = jnp.mean(h, axis=0)
-        h_var = jnp.mean((h - h_mean) ** 2, axis=0)
+        if weights is None:
+            h_mean = jnp.mean(h, axis=0)
+            h_var = jnp.mean((h - h_mean) ** 2, axis=0)
+        else:
+            w = weights.astype(jnp.float64).reshape(-1, 1)
+            W = jnp.maximum(jnp.sum(w), 1e-12)
+            h_mean = jnp.sum(h * w, axis=0) / W
+            h_var = jnp.sum(w * (h - h_mean) ** 2, axis=0) / W
         h_sd = jnp.where(h_var == 0.0, 1.0, jnp.sqrt(h_var))
-        t_mean, t_sd = self.tail.column_stats()
+        t_mean, t_sd = self.tail.column_stats(weights)
         d = self.n_head
         mean = t_mean.at[:d].set(h_mean)
         sd = t_sd.at[:d].set(h_sd)

@@ -96,6 +96,13 @@ class Family:
         """Per-sample gradient dloss/dlp; (B, k)."""
         raise NotImplementedError
 
+    def loss_report(self, lp: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Loss used for REPORTED statistics (deviance, dev_ratio, debug
+        traces).  Defaults to `loss`; families whose solver loss carries a
+        numerical safeguard (e.g. the Poisson smoothness clamp) override this
+        with the exact, unclamped loss so reported deviances are honest."""
+        return self.loss(lp, y)
+
     def null_intercept(self, y: jnp.ndarray, fit_intercept: bool, weights=None) -> jnp.ndarray:
         """Intercept of the null (intercept-only) model; (k,)."""
         raise NotImplementedError
@@ -103,7 +110,7 @@ class Family:
     def null_deviance(self, y: jnp.ndarray, fit_intercept: bool, weights=None) -> jnp.ndarray:
         """2 * sum(loss) under the null model."""
         lp0 = jnp.broadcast_to(self.null_intercept(y, fit_intercept, weights), (y.shape[0], self.n_classes))
-        losses = self.loss(lp0, y)
+        losses = self.loss_report(lp0, y)
         if weights is not None:
             losses = losses * weights
         return 2.0 * jnp.sum(losses)
@@ -135,7 +142,7 @@ class Family:
         if b0 is None:
             b0 = self.null_intercept_offset(y, offs, fit_intercept, weights)
         lp0 = b0[None, :] + offs
-        losses = self.loss(lp0, y)
+        losses = self.loss_report(lp0, y)
         if weights is not None:
             losses = losses * weights
         return 2.0 * jnp.sum(losses)
@@ -362,6 +369,15 @@ class Poisson(Family):
         mu_log = jnp.minimum(lp[:, 0], jnp.log(self.smoothness))
         yv = y[:, 0]
         # mu - y*log(mu) + y*log(y) - y  (== half the unit deviance)
+        ylogy = jnp.where(yv > 0, yv * jnp.log(jnp.maximum(yv, 1e-300)), 0.0)
+        return jnp.exp(mu_log) - yv * mu_log + ylogy - yv
+
+    def loss_report(self, lp, y):
+        """Exact (unclamped) Poisson deviance terms: the smoothness clamp is
+        a solver step-size device, not part of the model, so reported
+        deviance/dev_ratio must not inherit it."""
+        mu_log = lp[:, 0]
+        yv = y[:, 0]
         ylogy = jnp.where(yv > 0, yv * jnp.log(jnp.maximum(yv, 1e-300)), 0.0)
         return jnp.exp(mu_log) - yv * mu_log + ylogy - yv
 

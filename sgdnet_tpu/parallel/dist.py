@@ -152,6 +152,7 @@ def fit_path_sharded(
             n_epochs=P(None),
             return_codes=P(None),
             losses=P(None, None),
+            clamp_gap=P(None),
         ),
     )
 

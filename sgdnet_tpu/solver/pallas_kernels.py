@@ -104,6 +104,13 @@ def _kernel(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, acc_
         corr_out[:] = acc_ref[:]
 
 
+def _kernel_prefetch(s_ref, *refs, family_name, k):
+    # PrefetchScalarGridSpec passes the scalar block-offset ref first; it is
+    # consumed by the index maps only
+    del s_ref
+    _kernel(*refs, family_name=family_name, k=k)
+
+
 def supported(B: int, D: int, k: int, dtype=jnp.float32) -> bool:
     """Shapes this kernel handles (tile fits VMEM, batch divisible)."""
     bt = _pick_bt(B, D, dtype)
@@ -117,6 +124,78 @@ def _pick_bt(B: int, D: int, dtype=jnp.float32):
         if B % bt == 0 and bt * max(D, 1) <= budget:
             return bt
     return None
+
+
+@functools.partial(jax.jit, static_argnames=("B", "family_name", "interpret"))
+def fused_head_step_at(
+    head, start, w_h, lp_extra, yb, g_mem_b, wb, B: int, family_name: str, interpret: bool = False
+):
+    """Fused lp/gradient/corr on rows [start, start+B) of the FULL head.
+
+    The per-step variant below (`fused_head_step`) takes the batch block
+    `xb` as an argument — but `pallas_call` is opaque to XLA, so the
+    `dynamic_slice` that extracts the block MATERIALIZES a (B, D) copy
+    (256 MB at the bench config) before the kernel even starts, tripling
+    HBM traffic vs XLA's fused two-pass schedule; that is why the round-1
+    kernel lost (RESULTS.md round 1).  This variant instead maps the grid
+    onto the full (n_pad, D) head with a scalar-prefetch block offset, so
+    each (Bt, D) tile is DMA'd from HBM exactly once — the one-pass schedule
+    the kernel was always meant to be.
+
+    `start` must be a multiple of the tile size (block sampling guarantees
+    start = j * B and B % Bt == 0).  Returns (g (B, k), corr (k, D)) in f32.
+    """
+    n_pad, D = head.shape
+    k = w_h.shape[0]
+    bt = _pick_bt(B, D, head.dtype)
+    assert bt is not None, "unsupported shapes for fused_head_step_at"
+    n_tiles = B // bt
+    w_h = w_h.astype(jnp.float32)
+    lp_extra = lp_extra.astype(jnp.float32)
+    yb = yb.astype(jnp.float32)
+    g_mem_b = g_mem_b.astype(jnp.float32)
+    wb = wb.astype(jnp.float32)
+
+    kp = max(8, ((k + 7) // 8) * 8)
+    if kp != k:
+        pad = [(0, 0), (0, kp - k)]
+        w_h = jnp.pad(w_h, [(0, kp - k), (0, 0)])
+        lp_extra = jnp.pad(lp_extra, pad)
+        yb = jnp.pad(yb, pad)
+        g_mem_b = jnp.pad(g_mem_b, pad)
+
+    start_blocks = (start // bt).astype(jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            # the ONLY full-size operand: tile i = head rows
+            # [start + i*bt, start + (i+1)*bt) — one DMA per tile, no copy
+            pl.BlockSpec((bt, D), lambda i, s: (s[0] + i, 0)),
+            pl.BlockSpec((kp, D), lambda i, s: (0, 0)),
+            pl.BlockSpec((bt, kp), lambda i, s: (i, 0)),
+            pl.BlockSpec((bt, kp), lambda i, s: (i, 0)),
+            pl.BlockSpec((bt, kp), lambda i, s: (i, 0)),
+            pl.BlockSpec((bt, 1), lambda i, s: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, kp), lambda i, s: (i, 0)),
+            pl.BlockSpec((kp, D), lambda i, s: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((kp, D), jnp.float32)],
+    )
+    g, corr = pl.pallas_call(
+        functools.partial(_kernel_prefetch, family_name=family_name, k=k),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, kp), jnp.float32),
+            jax.ShapeDtypeStruct((kp, D), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(start_blocks, head, w_h, lp_extra, yb, g_mem_b, wb.reshape(B, 1))
+    return g[:, :k], corr[:k]
 
 
 @functools.partial(jax.jit, static_argnames=("family_name", "interpret"))

@@ -225,22 +225,27 @@ def _batch_outer(x, xc, g_change, sel, B: int, sparse_mode: str):
     return corr
 
 
-def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, config: SolverConfig, block: int = 1024, offs=None):
+def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, config: SolverConfig, block: int = 1024, offs=None, report: bool = True):
     """Weighted total loss over the dataset, computed in row blocks
-    (reference src/utils.h:199-227 EpochLoss / :304-329 Deviance)."""
+    (reference src/utils.h:199-227 EpochLoss / :304-329 Deviance).
+
+    `report=True` uses the family's exact reporting loss (no solver clamps);
+    `report=False` uses the solver loss (clamped) — the difference flags an
+    active clamp at the solution (poisson)."""
     n_pad = y.shape[0]
     block = min(block, n_pad)
     while n_pad % block != 0:
         block //= 2
         block = max(block, 1)
     n_blocks = n_pad // block
+    loss_fn = family.loss_report if report else family.loss
 
     def body(carry, i):
         start = i * block
         lp = _batch_predict(x, xc, w, start, block) + intercept
         if offs is not None:
             lp = lp + _rows(offs, start, block)
-        losses = family.loss(lp, _rows(y, start, block)) * _rows(weights, start, block)
+        losses = loss_fn(lp, _rows(y, start, block)) * _rows(weights, start, block)
         return carry + jnp.sum(losses), None
 
     total, _ = jax.lax.scan(body, jnp.zeros((), w.dtype), jnp.arange(n_blocks))
@@ -344,12 +349,18 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
         g_sum = state.g_sum + corr / w_total
 
         if config.fit_intercept:
-            # reference-style averaged-gradient intercept step
-            # (reference src/saga-dense.h:170-173); a larger "boosted" step
-            # is unstable because g_sum_intercept is up to an epoch stale
-            delta = sum_gc / w_total
-            g_sum_i = state.g_sum_intercept + delta
-            intercept = state.intercept - gamma * (config.intercept_decay * g_sum_i + delta)
+            # intercept step with the SAME SAGA estimator structure as the
+            # coefficient update: fresh batch-mean gradient change + stale
+            # average (reference src/saga-dense.h:170-173 is the B=1 case).
+            # The fresh term must be the batch mean (sum_gc / bw), NOT
+            # sum_gc / n: with a negligible fresh term the intercept follows
+            # an up-to-an-epoch-stale averaged gradient, and that delayed
+            # feedback loop goes unstable once gamma * (n / B) * L_bb > ~2
+            # (measured: geometric divergence on ill-conditioned dense data
+            # with small lambda; fixed by this estimator).
+            grad_est_b = sum_gc / bw + state.g_sum_intercept
+            intercept = state.intercept - gamma * config.intercept_decay * grad_est_b
+            g_sum_i = state.g_sum_intercept + sum_gc / w_total
         else:
             g_sum_i = state.g_sum_intercept
             intercept = state.intercept
@@ -431,6 +442,7 @@ class PathResults(NamedTuple):
     n_epochs: jnp.ndarray  # (n_lambda,) int32
     return_codes: jnp.ndarray  # (n_lambda,) int32: 0 converged, 1 hit max_iter
     losses: jnp.ndarray  # (n_lambda, max_iter) epoch losses (debug; else (n_lambda, 0))
+    clamp_gap: jnp.ndarray  # (n_lambda,) exact-vs-solver loss gap (poisson clamp; else 0)
 
 
 @partial(jax.jit, static_argnames=("family", "penalty", "config"))
@@ -504,13 +516,25 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
         state, _, it, _, losses = jax.lax.while_loop(cond, body, init)
         return state, it, losses
 
+    # poisson: the exact reporting loss differs from the clamped solver loss
+    # wherever the smoothness clamp is active — surface the gap per lambda so
+    # fit() can warn when the clamp touched the reported solution
+    track_clamp_gap = family.loss_report.__func__ is not Family.loss_report
+
     def scan_body(carry, xs):
         state, n_iter = carry
         gamma, l1, l2, i = xs
         lam_key = jax.random.fold_in(key, i)
         state, it, losses = fit_one(state, gamma, l1, l2, lam_key)
         dev = 2.0 * _dataset_loss(x, y, weights, xc, state.w, state.intercept, family, config, offs=offs)
-        out = (state.w, state.intercept, dev, it, jnp.where(it >= max_iter, 1, 0).astype(jnp.int32), losses)
+        if track_clamp_gap:
+            dev_clamped = 2.0 * _dataset_loss(
+                x, y, weights, xc, state.w, state.intercept, family, config, offs=offs, report=False
+            )
+            gap = dev - dev_clamped
+        else:
+            gap = jnp.zeros((), state.w.dtype)
+        out = (state.w, state.intercept, dev, it, jnp.where(it >= max_iter, 1, 0).astype(jnp.int32), losses, gap)
         return (state, n_iter + it), out
 
     n_lambda = gammas.shape[0]

