@@ -156,6 +156,15 @@ def bench_sparse_epoch(
         x = as_padded(csr_np)
     n_pad = ((n + batch_size - 1) // batch_size) * batch_size
     x = x.pad_rows(n_pad)
+    if sampling == "block" and hybrid:
+        # fit() builds this too: packed per-block COO tail (no row padding)
+        from sgdnet_tpu.core.sparse import BlockCOO, HybridCSR
+
+        if isinstance(x, HybridCSR):
+            x = HybridCSR(
+                x.head, x.tail, x.n_rows, x.n_cols,
+                blk_tail=BlockCOO.from_padded(x.tail, batch_size),
+            )
     y = jnp.concatenate([jnp.asarray(y), jnp.zeros((n_pad - n, 1), jnp.float32)])
     weights = jnp.concatenate([jnp.ones((n,), jnp.float32), jnp.zeros((n_pad - n,), jnp.float32)])
 

@@ -178,23 +178,10 @@ def cv_fit(
         sw_arr = np.asarray(sw_arr, dtype=np.float64)
         if sw_arr.shape != (n_samples,):
             raise ValueError("sample_weight must have one entry per sample")
-    if parallel and fit_kwargs.get("family") == "poisson":
-        # the fold kernel builds its own Family and would miss the
-        # data-dependent poisson smoothness bound
-        raise NotImplementedError("parallel CV does not support the poisson family yet")
-    if parallel:
-        # the vectorized fold kernel ignores unknown kwargs — refuse rather
-        # than silently dropping constraints from the fold fits
-        unsupported = [
-            k for k in ("penalty_factor", "lower_limits", "upper_limits", "exclude")
-            if fit_kwargs.get(k) is not None
-        ]
-        if sw_arr is not None:
-            unsupported.append("sample_weight")
-        if unsupported:
-            raise NotImplementedError(
-                f"parallel CV does not support {unsupported} yet; use parallel=False"
-            )
+    if parallel and type_measure == "auc":
+        raise NotImplementedError(
+            "type_measure='auc' is not traced-computable; use parallel=False"
+        )
 
     # full-data fit per alpha (reference R/cv_sgdnet.R:160-162)
     fits = [
@@ -237,6 +224,7 @@ def cv_fit(
                 type_measure=type_measure,
                 mesh=cv_mesh,
                 seed=seed,
+                sample_weight=sw_arr,
                 **fit_kwargs,
             )
         else:

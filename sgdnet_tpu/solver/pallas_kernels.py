@@ -61,6 +61,48 @@ def _gradient(family_name: str, lp, yb, k: int):
     raise ValueError(family_name)
 
 
+def _kernel_vpu1(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, acc_ref, *, family_name, k):
+    """k=1 variant on the VPU.
+
+    A (Bt, D) @ (D, 1) matvec on the MXU wastes ~99% of the 128-wide
+    systolic array (measured: the MXU kernel floors at ~1.37 ms/step
+    regardless of tile size — compute-bound at ~6% utilization, not
+    DMA-bound).  For a single class both passes are elementwise
+    multiply + reduce, which the VPU does at full width:
+
+        lp[b]  = sum_d xb[b, d] * w[d]        (lane reduction)
+        corr[d] = sum_b gc[b] * xb[b, d]      (sublane reduction)
+
+    Multiplies run in the tile dtype (bf16 at 2x rate), accumulation f32.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    xb = xb_ref[:]  # (Bt, D) — read once, used by both passes
+    w_row = w_ref[0, :][None, :].astype(xb.dtype)  # (1, D)
+    lp = jnp.sum((xb * w_row).astype(jnp.float32), axis=1, keepdims=True)  # (Bt, 1)
+    lp = lp + lpe_ref[:, 0:1]
+    g1 = _gradient(family_name, lp, y_ref[:, 0:1], 1) * wb_ref[:]
+    gc = g1 - gm_ref[:, 0:1]  # (Bt, 1)
+
+    kp = g_out.shape[1]
+    g_out[:] = jnp.pad(g1, ((0, 0), (0, kp - 1)))
+
+    tile_corr = jnp.sum((xb * gc.astype(xb.dtype)).astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.pad(tile_corr, ((0, kp - 1), (0, 0)))
+
+    @pl.when(i > 0)
+    def _():
+        acc_ref[0:1, :] = acc_ref[0:1, :] + tile_corr
+
+    @pl.when(i == n - 1)
+    def _():
+        corr_out[:] = acc_ref[:]
+
+
 def _kernel(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, acc_ref, *, family_name, k):
     # corr accumulates in a VMEM scratch that persists across the
     # (sequential) grid and is flushed once at the last step — Mosaic does
@@ -108,7 +150,10 @@ def _kernel_prefetch(s_ref, *refs, family_name, k):
     # PrefetchScalarGridSpec passes the scalar block-offset ref first; it is
     # consumed by the index maps only
     del s_ref
-    _kernel(*refs, family_name=family_name, k=k)
+    if k == 1:
+        _kernel_vpu1(*refs, family_name=family_name, k=k)
+    else:
+        _kernel(*refs, family_name=family_name, k=k)
 
 
 def supported(B: int, D: int, k: int, dtype=jnp.float32) -> bool:

@@ -165,6 +165,40 @@ def _csr_batch_predict(csr: PaddedCSR, w, sel, B: int):
     return jnp.einsum("bl,blk->bk", vb, wt[ib], preferred_element_type=w.dtype)
 
 
+def _use_blk_tail(x, sel, B: int) -> bool:
+    """Packed-COO tail ops apply when batches are fixed blocks of the packed
+    size (block sampling inside the epoch; _dataset_loss uses its own block
+    length and falls back to the padded tail)."""
+    return (
+        isinstance(x, HybridCSR)
+        and x.blk_tail is not None
+        and sel.ndim == 0
+        and x.blk_tail.batch == B
+    )
+
+
+def _coo_batch_predict(bt, w, blk, B: int):
+    """Tail forward via packed COO: gather w at E true nonzeros, scatter-add
+    into the B batch rows — ~1/3 the element-ops of the padded form."""
+    r = jax.lax.dynamic_index_in_dim(bt.rows, blk, 0, keepdims=False)  # (E,)
+    c = jax.lax.dynamic_index_in_dim(bt.cols, blk, 0, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(bt.vals, blk, 0, keepdims=False)
+    wt = w.T  # (p, k)
+    contrib = v[:, None].astype(w.dtype) * wt[c]  # gather (E, k)
+    return jnp.zeros((B, w.shape[0]), w.dtype).at[r].add(contrib)
+
+
+def _coo_batch_outer(bt, g_change, blk):
+    """Tail part of the rank-B update via packed COO: (k, p)."""
+    r = jax.lax.dynamic_index_in_dim(bt.rows, blk, 0, keepdims=False)
+    c = jax.lax.dynamic_index_in_dim(bt.cols, blk, 0, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(bt.vals, blk, 0, keepdims=False)
+    k = g_change.shape[1]
+    contrib = v[:, None].astype(g_change.dtype) * g_change[r]  # gather (E, k)
+    corr_t = jnp.zeros((bt.n_cols, k), g_change.dtype).at[c].add(contrib)
+    return corr_t.T
+
+
 def _batch_predict(x, xc, w, sel, B: int):
     """Linear predictors for the selected rows: (B, k).  Handles the sparse
     centering correction lp -= w @ c (reference src/saga-sparse.h:274-277)."""
@@ -175,7 +209,10 @@ def _batch_predict(x, xc, w, sel, B: int):
         # halves the dominant HBM stream and doubles the MXU rate
         wh = w[:, :d] if w.dtype == hb.dtype else w[:, :d].astype(hb.dtype)
         lp = jnp.dot(hb, wh.T, preferred_element_type=w.dtype)  # MXU
-        lp = lp + _csr_batch_predict(x.tail, w, sel, B)
+        if _use_blk_tail(x, sel, B):
+            lp = lp + _coo_batch_predict(x.blk_tail, w, sel // B, B)
+        else:
+            lp = lp + _csr_batch_predict(x.tail, w, sel, B)
     elif isinstance(x, PaddedCSR):
         lp = _csr_batch_predict(x, w, sel, B)
     else:
@@ -206,7 +243,10 @@ def _batch_outer(x, xc, g_change, sel, B: int, sparse_mode: str):
         hb = _rows(x.head, sel, B)  # (B, D)
         gc = g_change if g_change.dtype == hb.dtype else g_change.astype(hb.dtype)
         head_corr = jnp.dot(gc.T, hb, preferred_element_type=g_change.dtype)  # MXU
-        corr = _csr_batch_outer(x.tail, g_change, sel, B)
+        if _use_blk_tail(x, sel, B):
+            corr = _coo_batch_outer(x.blk_tail, g_change, sel // B)
+        else:
+            corr = _csr_batch_outer(x.tail, g_change, sel, B)
         corr = corr.at[:, :d].add(head_corr)
     elif isinstance(x, PaddedCSR):
         ib = _rows(x.indices, sel, B)
@@ -283,7 +323,10 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
         if isinstance(x, HybridCSR):
             d = x.n_head
             xb = _rows(x.head, sel, B)
-            lp_extra = _csr_batch_predict(x.tail, state.w, sel, B)
+            if _use_blk_tail(x, sel, B):
+                lp_extra = _coo_batch_predict(x.blk_tail, state.w, sel // B, B)
+            else:
+                lp_extra = _csr_batch_predict(x.tail, state.w, sel, B)
             w_head = state.w[:, :d]
         else:
             d = x.shape[1]
@@ -303,7 +346,10 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
         g_mem = _set_rows(state.g_mem, sel, g, B)
 
         if isinstance(x, HybridCSR):
-            corr = _csr_batch_outer(x.tail, g_change, sel, B)
+            if _use_blk_tail(x, sel, B):
+                corr = _coo_batch_outer(x.blk_tail, g_change, sel // B)
+            else:
+                corr = _csr_batch_outer(x.tail, g_change, sel, B)
             corr = corr.at[:, :d].add(corr_head)
             if xc is not None:  # xc is zero on head columns
                 corr = corr - jnp.outer(jnp.sum(g_change, axis=0), xc.astype(corr.dtype))

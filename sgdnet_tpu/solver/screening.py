@@ -5,24 +5,33 @@ features); the rebuild's north star lists screening as a subsystem.  This
 implements the sequential strong rule (Tibshirani et al. 2012): when moving
 from lambda_{k-1} to lambda_k, feature j can be discarded if
 
-    score_j  =  || (1/W) X_eff^T g ||  <  2*l1_k - l1_{k-1}
+    score_j  =  || (1/W) X_eff^T g ||  <  pf_j * (2*l1_k - l1_{k-1})
 
-where g are the per-sample gradients at the lambda_{k-1} solution and the
-norm is over classes (plain |.| for single-response, the group L2 norm for
-group-lasso penalties).  The rule is safe-checked: after fitting on the
-screened set, the full KKT conditions are verified and any violating
-feature is added back and the lambda re-fit (so the result is exact, not
-heuristic).
+where g are the per-sample gradients at the lambda_{k-1} solution, the norm
+is over classes (plain |.| for single-response, the group L2 norm for
+group-lasso penalties), and pf_j is the per-feature penalty factor
+(features with pf_j = 0 are unpenalized and always active).  The rule is
+safe-checked: after fitting on the screened set, the full KKT conditions
+are verified and any violating feature is added back and the lambdas
+re-fit — the result is exact, not heuristic.
 
-TPU adaptation: active sets are padded into power-of-two **buckets** ending
-at a dedicated all-zero dummy column, so every distinct bucket size
-compiles once and the solver always sees static shapes.  The per-sample
-gradient memory is column-independent and carries across active sets
-unchanged; the full-width gradient average is recomputed by one matvec per
-lambda (which is also what the screening scores need).
+TPU adaptations (round 2 — layout-generic + batched):
 
-Dense design matrices only (the hybrid/sparse layouts already avoid
-touching inactive features' memory traffic by construction).
+* **Any layout.** The active set is materialized as a DENSE (n_pad, K+1)
+  column subset regardless of the input layout — once screening works, K is
+  small and a dense fully-centered block is the fastest thing the solver
+  can consume.  Dense inputs gather columns; PaddedCSR scatters its
+  nonzeros through a col->slot lookup; HybridCSR does head-gather +
+  tail-scatter.  Centering is applied directly to the subset (it is dense
+  now), so the solver runs with no correction term.
+* **Static shapes.** Active sets pad into power-of-two buckets ending at a
+  dedicated all-zero dummy column, so each bucket size compiles once.
+* **Lambda groups.** Consecutive lambdas are screened and fitted in GROUPS
+  sharing one active set (union strong rule at the group's smallest
+  lambda): one fit_path call and one batched KKT check per group instead
+  of per lambda, cutting host round-trips by the group size.
+* **Penalty factors / box limits.** pf scales both the screening threshold
+  and the KKT check; box limits are sliced onto the active subset.
 """
 
 from __future__ import annotations
@@ -31,6 +40,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from sgdnet_tpu.core.sparse import HybridCSR, PaddedCSR
 from sgdnet_tpu.solver.saga import SagaState, SolverConfig, fit_path, init_state
 
 
@@ -41,8 +51,77 @@ def _bucket(size: int, minimum: int = 128) -> int:
     return b
 
 
+def _full_lp(x, xc, w_dev, b_dev, dtype):
+    """Linear predictors on the full data, any layout; (n_pad, k)."""
+    if isinstance(x, (PaddedCSR, HybridCSR)):
+        lp = x.matmul_dense(w_dev.T.astype(dtype)).astype(dtype)
+    else:
+        lp = jnp.dot(x, w_dev.T, preferred_element_type=dtype)
+    if xc is not None:
+        lp = lp - jnp.dot(w_dev, xc.astype(w_dev.dtype))
+    return lp + b_dev
+
+
+def _xtg(x, xc, g, w_total, dtype):
+    """(1/W) X_eff^T g with the sparse centering correction; (k, p)."""
+    if isinstance(x, (PaddedCSR, HybridCSR)):
+        xtg = x.matvec_T(g.astype(dtype)).T.astype(dtype) / w_total
+    else:
+        xtg = jnp.dot(g.T, x, preferred_element_type=dtype) / w_total
+    if xc is not None:
+        xtg = xtg - jnp.outer(jnp.sum(g, axis=0), xc.astype(xtg.dtype)) / w_total
+    return xtg
+
+
+def _column_subset(x, xc, cols_np: np.ndarray, p: int, dtype):
+    """Dense, fully-centered (n_pad, K+1) block of the selected columns.
+
+    cols_np has K entries in [0, p]; index p selects the all-zero dummy.
+    The returned block needs NO centering correction (pad rows carry weight
+    0, so their nonzero centered values are inert)."""
+    K = len(cols_np)
+    cols = jnp.asarray(cols_np)
+    if isinstance(x, HybridCSR):
+        n_pad = x.n_rows
+        d = x.n_head
+        # head part: gather head columns (dummy/tail slots -> 0)
+        head_cols = jnp.where(cols < d, cols, 0)
+        head_part = x.head[:, head_cols].astype(dtype) * (cols < d)[None, :]
+        # tail part: scatter nonzeros through a col -> slot lookup
+        slot = np.full(p + 1, K, dtype=np.int32)
+        real = cols_np < p
+        slot[cols_np[real]] = np.arange(K, dtype=np.int32)[real]
+        slot_dev = jnp.asarray(slot)
+        rows = jnp.broadcast_to(jnp.arange(n_pad)[:, None], x.tail.indices.shape)
+        tail_part = (
+            jnp.zeros((n_pad, K + 1), dtype)
+            .at[rows, slot_dev[x.tail.indices]]
+            .add(x.tail.values.astype(dtype))[:, :K]
+        )
+        sub = head_part + tail_part
+    elif isinstance(x, PaddedCSR):
+        n_pad = x.n_rows
+        slot = np.full(p + 1, K, dtype=np.int32)
+        real = cols_np < p
+        slot[cols_np[real]] = np.arange(K, dtype=np.int32)[real]
+        slot_dev = jnp.asarray(slot)
+        rows = jnp.broadcast_to(jnp.arange(n_pad)[:, None], x.indices.shape)
+        sub = (
+            jnp.zeros((n_pad, K + 1), dtype)
+            .at[rows, slot_dev[x.indices]]
+            .add(x.values.astype(dtype))[:, :K]
+        )
+    else:
+        x_ext = jnp.concatenate([x, jnp.zeros((x.shape[0], 1), x.dtype)], axis=1)
+        sub = x_ext[:, cols].astype(dtype)
+    if xc is not None:  # full centering, applied densely to real columns
+        c_sub = jnp.where(cols < p, xc.astype(dtype)[jnp.minimum(cols, p - 1)], 0.0)
+        sub = sub - c_sub[None, :]
+    return sub
+
+
 def screened_path(
-    x,  # (n_pad, p) dense, standardized, padded rows
+    x,  # standardized design (dense, PaddedCSR, or HybridCSR), padded rows
     y,
     weights,
     gammas,
@@ -53,20 +132,28 @@ def screened_path(
     family,
     penalty,
     config: SolverConfig,
+    xc=None,  # sparse centering correction (center/scale), or None
+    pf=None,  # (p,) penalty factors (solver scale), or None
+    box=None,  # ((k, p) lo, (k, p) hi) standardized-scale bounds, or None
+    always_inactive=None,  # (p,) bool — excluded features, pinned to zero
+    group_size: int = 4,
     kkt_slack: float = 1e-5,
     max_kkt_rounds: int = 3,
 ):
     """Strong-rule screened warm-started path.  Returns (w_path (nl, k, p),
     intercept_path (nl, k), deviance (nl,), n_epochs (nl,), return_codes,
-    total_epochs)."""
-    n_pad, p = x.shape
+    total_epochs, stats dict)."""
+    n_pad = x.shape[0]
+    p = x.shape[1]
     k = family.n_classes
-    dtype = x.dtype
+    dtype = y.dtype
     nl = len(np.asarray(l1s))
     w_total = jnp.maximum(jnp.sum(weights), 1e-12)
 
-    # dummy all-zero column at index p: active sets pad with it
-    x_ext = jnp.concatenate([x, jnp.zeros((n_pad, 1), dtype)], axis=1)
+    pf_np = np.ones(p) if pf is None else np.asarray(pf, dtype=np.float64)
+    excl_np = (
+        np.zeros(p, dtype=bool) if always_inactive is None else np.asarray(always_inactive)
+    )
 
     w_full = np.zeros((k, p), dtype=np.float64)
     intercept = np.asarray(
@@ -75,17 +162,26 @@ def screened_path(
     g_mem = jnp.zeros((n_pad, k), dtype)
 
     @jax.jit
-    def gradient_scores(w_dev, b_dev, g_mem_unused):
-        lp = jnp.dot(x, w_dev.T, preferred_element_type=dtype) + b_dev
+    def gradient_scores(w_dev, b_dev):
+        lp = _full_lp(x, xc, w_dev, b_dev, dtype)
         g = family.gradient(lp, y) * weights[:, None]  # (n_pad, k)
-        xtg = jnp.dot(g.T, x, preferred_element_type=dtype) / w_total  # (k, p)
-        scores = jnp.sqrt(jnp.sum(xtg.astype(jnp.float64) ** 2, axis=0))
-        return scores, g
+        xtg = _xtg(x, xc, g, w_total, dtype)
+        return jnp.sqrt(jnp.sum(xtg.astype(jnp.float64) ** 2, axis=0))
+
+    @jax.jit
+    def group_scores(w_group, b_group):
+        """Scores at each of G candidate solutions: (G, p)."""
+
+        def one(carry, i):
+            return carry, gradient_scores(w_group[i], b_group[i])
+
+        _, s = jax.lax.scan(one, 0, jnp.arange(w_group.shape[0]))
+        return s
 
     @jax.jit
     def dataset_deviance(w_dev, b_dev):
-        lp = jnp.dot(x, w_dev.T, preferred_element_type=dtype) + b_dev
-        losses = family.loss(lp, y) * weights
+        lp = _full_lp(x, xc, w_dev, b_dev, dtype)
+        losses = family.loss_report(lp, y) * weights
         return 2.0 * jnp.sum(losses)
 
     w_out = np.zeros((nl, k, p))
@@ -94,34 +190,67 @@ def screened_path(
     iters_out = np.zeros(nl, dtype=np.int32)
     codes_out = np.zeros(nl, dtype=np.int32)
     total_epochs = 0
+    active_hist = []
 
     l1s_np = np.asarray(l1s, dtype=np.float64)
     gammas_np = np.asarray(gammas, dtype=np.float64)
     l2s_np = np.asarray(l2s, dtype=np.float64)
 
-    for li in range(nl):
+    li = 0
+    while li < nl:
+        hi = min(li + group_size, nl)
+        G = hi - li
         w_dev = jnp.asarray(w_full, dtype)
         b_dev = jnp.asarray(intercept, dtype)
-        scores, g = gradient_scores(w_dev, b_dev, g_mem)
-        scores = np.asarray(scores)
+        scores = np.asarray(gradient_scores(w_dev, b_dev))
 
-        l1_prev = l1s_np[li - 1] if li > 0 else np.max(scores)
-        threshold = 2.0 * l1s_np[li] - l1_prev
-        active = (scores >= threshold) | (np.abs(w_full).sum(axis=0) > 0)
+        # union of the per-lambda sequential strong rules over the group:
+        # active if score >= pf * (2*l1_g - l1_{g-1}) for ANY lambda in the
+        # group, i.e. score >= pf * min_g(2*l1_g - l1_{g-1}).  (The naive
+        # group rule 2*l1_last - l1_prev goes NEGATIVE once the group spans
+        # a lambda ratio > 2x and screens nothing.)  For g > li this uses
+        # scores measured at the last fitted solution rather than at
+        # lambda_{g-1}'s — a heuristic, but the batched KKT check below
+        # keeps the result exact either way.  The lambda-max proxy at the
+        # path start considers only penalized features (pf > 0), like the
+        # lambda-path construction itself.
+        if li > 0:
+            l1_prev = l1s_np[li - 1]
+        else:
+            pen = (pf_np > 0) & ~excl_np
+            l1_prev = float(np.max(scores[pen] / pf_np[pen])) if pen.any() else 0.0
+        prevs = np.concatenate([[l1_prev], l1s_np[li : hi - 1]])
+        threshold = float(np.min(2.0 * l1s_np[li:hi] - prevs))
+        active = (
+            (scores >= pf_np * threshold)
+            | (np.abs(w_full).sum(axis=0) > 0)
+            | (pf_np == 0)
+        ) & ~excl_np
 
         for kkt_round in range(max_kkt_rounds):
             idx = np.flatnonzero(active)
-            K = _bucket(max(len(idx), 1))
-            K = min(K, p)
+            K = min(_bucket(max(len(idx), 1)), p)
             padded = np.full(K, p, dtype=np.int32)  # dummy column
             padded[: len(idx)] = idx[:K]
             if len(idx) > K:  # bucket cap hit: fall back to everything
                 padded = np.arange(p, dtype=np.int32)
                 K = p
 
-            cols = jnp.asarray(padded)
-            x_sub = x_ext[:, cols]
-            w_sub = jnp.asarray(w_full[:, np.minimum(padded, p - 1)] * (padded < p), dtype)
+            x_sub = _column_subset(x, xc, padded, p, dtype)[:, :K]
+            real = padded < p
+            w_sub = jnp.asarray(w_full[:, np.minimum(padded, p - 1)] * real, dtype)
+            pf_sub = (
+                None
+                if pf is None
+                else jnp.asarray(np.where(real, pf_np[np.minimum(padded, p - 1)], 1.0), dtype)
+            )
+            box_sub = None
+            if box is not None:
+                lo = np.asarray(box[0])[:, np.minimum(padded, p - 1)]
+                hi_b = np.asarray(box[1])[:, np.minimum(padded, p - 1)]
+                lo = np.where(real[None, :], lo, 0.0)
+                hi_b = np.where(real[None, :], hi_b, 0.0)
+                box_sub = (jnp.asarray(lo, dtype), jnp.asarray(hi_b, dtype))
             # gradient average on the active set: one matvec
             g_sum_sub = jnp.dot(g_mem.T, x_sub, preferred_element_type=dtype) / w_total
             state = SagaState(
@@ -137,38 +266,58 @@ def screened_path(
                 y,
                 weights,
                 None,
-                jnp.asarray([gammas_np[li]], dtype),
-                jnp.asarray([l1s_np[li]], dtype),
-                jnp.asarray([l2s_np[li]], dtype),
+                jnp.asarray(gammas_np[li:hi], dtype),
+                jnp.asarray(l1s_np[li:hi], dtype),
+                jnp.asarray(l2s_np[li:hi], dtype),
                 jnp.asarray(tol, dtype),
                 lam_key,
                 state,
                 family,
                 penalty,
                 config,
+                pf=pf_sub,
+                box=box_sub,
             )
             total_epochs += int(n_it)
-            w_sub_new = np.asarray(results.w[0], dtype=np.float64)  # (k, K)
-            w_full = np.zeros_like(w_full)
-            real = padded < p
-            w_full[:, padded[real]] = w_sub_new[:, real]
-            intercept = np.asarray(results.intercept[0], dtype=np.float64)
-            g_mem = state.g_mem
+            # scatter each group solution back to full width
+            w_grp_sub = np.asarray(results.w, dtype=np.float64)  # (G, k, K)
+            w_grp = np.zeros((G, k, p))
+            w_grp[:, :, padded[real]] = w_grp_sub[:, :, real]
+            b_grp = np.asarray(results.intercept, dtype=np.float64)  # (G, k)
+            g_mem_new = state.g_mem
 
-            # KKT check on the full problem
-            w_dev = jnp.asarray(w_full, dtype)
-            b_dev = jnp.asarray(intercept, dtype)
-            scores, g = gradient_scores(w_dev, b_dev, g_mem)
-            scores = np.asarray(scores)
-            violations = (scores > l1s_np[li] * (1 + kkt_slack)) & ~active
-            if not violations.any():
+            # batched KKT check: scores at each group solution vs its own l1
+            s_grp = np.asarray(
+                group_scores(jnp.asarray(w_grp, dtype), jnp.asarray(b_grp, dtype))
+            )  # (G, p)
+            viol = (
+                (s_grp > pf_np[None, :] * l1s_np[li:hi, None] * (1 + kkt_slack))
+                & ~active[None, :]
+                & ~excl_np[None, :]
+            ).any(axis=0)
+            if not viol.any():
+                g_mem = g_mem_new
                 break
-            active |= violations
+            active |= viol
+        else:
+            g_mem = g_mem_new
 
-        w_out[li] = w_full
-        b_out[li] = intercept
-        dev_out[li] = float(dataset_deviance(w_dev, b_dev))
-        iters_out[li] = int(n_it)
-        codes_out[li] = int(results.return_codes[0])
+        w_out[li:hi] = w_grp
+        b_out[li:hi] = b_grp
+        iters_out[li:hi] = np.asarray(results.n_epochs, dtype=np.int32)
+        codes_out[li:hi] = np.asarray(results.return_codes, dtype=np.int32)
+        for gi in range(G):
+            dev_out[li + gi] = float(
+                dataset_deviance(jnp.asarray(w_grp[gi], dtype), jnp.asarray(b_grp[gi], dtype))
+            )
+        active_hist.append(int(active.sum()))
+        w_full = w_grp[-1]
+        intercept = b_grp[-1]
+        li = hi
 
-    return w_out, b_out, dev_out, iters_out, codes_out, total_epochs
+    stats = {
+        "active_per_group": active_hist,
+        "mean_active": float(np.mean(active_hist)) if active_hist else 0.0,
+        "p": p,
+    }
+    return w_out, b_out, dev_out, iters_out, codes_out, total_epochs, stats

@@ -287,9 +287,14 @@ class TestLayoutsAndFamilies:
         b = np.asarray(cv.coef())  # first entry is the (unconstrained) intercept
         assert b[..., 1:].min() >= -1e-12
 
-    def test_parallel_cv_refuses_constraints(self):
-        # the vectorized fold kernel cannot apply constraints; it must raise
-        # rather than silently dropping them from the fold fits
+    def test_parallel_cv_applies_constraints(self):
+        # round 2: the vectorized fold kernel applies constraints (maps box
+        # limits onto each fold's standardized scale) — must match serial CV
         x, y = _gauss(seed=53)
-        with pytest.raises(NotImplementedError):
-            st.cv_fit(x, y, nfolds=3, nlambda=4, parallel=True, lower_limits=0.0)
+        foldid = np.arange(len(y)) % 3
+        kw = dict(foldid=foldid, nlambda=4, lower_limits=0.0, dtype=np.float64,
+                  thresh=1e-5)
+        cv_s = st.cv_fit(x, y, **kw)
+        cv_p = st.cv_fit(x, y, parallel=True, **kw)
+        np.testing.assert_allclose(cv_p.cv_raw[0], cv_s.cv_raw[0], rtol=0.05, atol=1e-3)
+        assert np.asarray(cv_p.coef())[..., 1:].min() >= -1e-12

@@ -164,8 +164,11 @@ def test_cv_and_weights():
     cv = st.cv_fit(x, y, family="poisson", alpha=1.0, nfolds=3, nlambda=8,
                    sample_weight=w, dtype=np.float64)
     assert np.isfinite(cv.lambda_min) and np.isfinite(cv.lambda_1se)
-    with pytest.raises(NotImplementedError):
-        st.cv_fit(x, y, family="poisson", nfolds=3, nlambda=4, parallel=True)
+    # round 2: poisson fold-parallel CV is supported (full-data smoothness
+    # bound reused per fold) — covered in depth by test_parallel
+    cv_p = st.cv_fit(x, y, family="poisson", alpha=1.0, nfolds=3, nlambda=8,
+                     sample_weight=w, dtype=np.float64, parallel=True, seed=0)
+    assert np.isfinite(cv_p.lambda_min)
 
 
 def test_validation():

@@ -205,3 +205,49 @@ def test_weighted_column_stats_sparse():
     mean, sd = csr.column_stats(jnp.asarray(w))
     np.testing.assert_allclose(np.asarray(mean), mean_exp, atol=1e-12)
     np.testing.assert_allclose(np.asarray(sd), sd_exp, atol=1e-12)
+
+
+def test_block_coo_tail_ops_exact():
+    """BlockCOO packed-tail batch ops are bit-identical in exact arithmetic
+    to the padded-tail ops (it is the same set of nonzeros)."""
+    import jax.numpy as jnp
+
+    from sgdnet_tpu.core.sparse import BlockCOO, HybridCSR
+    from sgdnet_tpu.solver.saga import (
+        _coo_batch_outer,
+        _coo_batch_predict,
+        _csr_batch_outer,
+        _csr_batch_predict,
+    )
+
+    rng = np.random.default_rng(31)
+    n, p, B, k = 64, 40, 16, 3
+    x = (rng.random((n, p)) < 0.15) * rng.normal(size=(n, p))
+    tail = PaddedCSR.from_scipy(sp.csr_matrix(x), dtype=np.float64)
+    bt = BlockCOO.from_padded(tail, B, lane_multiple=8)
+    w = jnp.asarray(rng.normal(size=(k, p)))
+    gc = jnp.asarray(rng.normal(size=(B, k)))
+    for blk in (0, 1, 3):
+        sel = jnp.int32(blk * B)
+        lp_pad = _csr_batch_predict(tail, w, sel, B)
+        lp_coo = _coo_batch_predict(bt, w, jnp.int32(blk), B)
+        np.testing.assert_allclose(np.asarray(lp_coo), np.asarray(lp_pad), atol=1e-12)
+        c_pad = _csr_batch_outer(tail, gc, sel, B)
+        c_coo = _coo_batch_outer(bt, gc, jnp.int32(blk))
+        np.testing.assert_allclose(np.asarray(c_coo), np.asarray(c_pad), atol=1e-12)
+
+
+def test_hybrid_block_coo_fit_equals_permutation():
+    """End-to-end: hybrid + block sampling (BlockCOO tail active) matches the
+    permutation-sampling fit at the coefficient contract."""
+    rng = np.random.default_rng(32)
+    n, p = 320, 600
+    x = (rng.random((n, p)) < 0.04) * rng.normal(size=(n, p))
+    y = x[:, 1] * 1.5 - x[:, 2] + 0.1 * rng.normal(size=n)
+    xs = sp.csr_matrix(x)
+    common = dict(nlambda=6, thresh=1e-6, maxit=2000, dtype=np.float64, batch_size=64)
+    f_perm = st.fit(xs, y, hybrid=True, sampling="permutation", **common)
+    f_blk = st.fit(xs, y, hybrid=True, sampling="block", lambda_path=f_perm.lambda_, **common)
+    from sgdnet_tpu.api.fit import _as_design_matrix
+    scale = max(1.0, np.abs(f_perm.beta).max())
+    np.testing.assert_allclose(f_blk.beta, f_perm.beta, atol=2e-3 * scale)

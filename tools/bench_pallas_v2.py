@@ -23,14 +23,18 @@ def main():
     from sgdnet_tpu.solver.pallas_kernels import fused_head_step, fused_head_step_at
 
     log(f"backend: {jax.default_backend()}")
-    rng = np.random.default_rng(0)
     n_pad, D, B, k = 106496, 16384, 8192, 1
     steps = n_pad // B
-    head = jnp.asarray(rng.normal(size=(n_pad, D)).astype(np.float32)).astype(jnp.bfloat16)
-    w = jnp.asarray(rng.normal(size=(k, D)).astype(np.float32))
-    y = jnp.asarray((rng.random((n_pad, k)) < 0.5).astype(np.float32))
+    kg = jax.random.PRNGKey(7)
+    # generate ON DEVICE: a multi-GB host->device transfer through the relay
+    # is pathologically slow
+    head = jax.jit(lambda k: jax.random.normal(k, (n_pad, D), jnp.bfloat16))(kg)
+    w = jax.random.normal(jax.random.fold_in(kg, 1), (k, D), jnp.float32)
+    y = (jax.random.uniform(jax.random.fold_in(kg, 2), (n_pad, k)) < 0.5).astype(jnp.float32)
     gm0 = jnp.zeros((n_pad, k), jnp.float32)
     wall = jnp.ones((n_pad,), jnp.float32)
+    float(jnp.sum(w))
+    log("data generated on device")
     T = 26  # 2 epochs worth of steps per dispatch
 
     def mk(loop_body):
