@@ -107,12 +107,18 @@ def as_padded(csr_np):
 
 def to_hybrid(csr_np, max_head=4096, coverage=0.9, head_dtype=None):
     """numpy padded-CSR dict -> dense-head/sparse-tail HybridCSR layout."""
+    import jax.numpy as jnp
+
     from sgdnet_tpu.core.sparse import HybridCSR
 
     xs = _to_scipy(csr_np)
+    quant = head_dtype is not None and jnp.dtype(head_dtype) == jnp.int8
     xh, perm = HybridCSR.split_columns(
-        xs, coverage=coverage, max_head=max_head, head_dtype=head_dtype
+        xs, coverage=coverage, max_head=max_head,
+        head_dtype=None if quant else head_dtype,
     )
+    if quant:
+        xh = xh.quantize_head()
     col_nnz = np.bincount(xs.indices, minlength=csr_np["p"])
     head_nnz = int(col_nnz[perm[: xh.n_head]].sum())  # host-side (no readback)
     log(

@@ -244,6 +244,11 @@ def fit(
     if maxit <= 0:
         raise ValueError("maximum number of iterations cannot be negative or zero.")
 
+    # int8 head mode: build the head in f32 and quantize LAST (after
+    # standardization / row shuffle) — centering an int8 head would break it
+    if isinstance(hybrid_head_dtype, str):
+        hybrid_head_dtype = getattr(jnp, hybrid_head_dtype)
+    _hybrid_int8 = hybrid_head_dtype is not None and jnp.dtype(hybrid_head_dtype) == jnp.int8
     x, is_sparse, col_perm = _as_design_matrix(
         x,
         dtype,
@@ -251,13 +256,15 @@ def fit(
         hybrid_coverage=hybrid_coverage,
         hybrid_max_head=hybrid_max_head,
         hybrid_memory_budget=hybrid_memory_budget,
-        hybrid_head_dtype=hybrid_head_dtype,
+        hybrid_head_dtype=None if _hybrid_int8 else hybrid_head_dtype,
     )
     n_samples, n_features = x.shape
     if n_samples == 0:
         raise ValueError("the predictor matrix (x) is empty.")
 
     x_vals = x.values if isinstance(x, PaddedCSR) else x.head if isinstance(x, HybridCSR) else x
+    if x_vals.dtype == jnp.int8:  # prebuilt quantized head cannot hold NaN
+        x_vals = x_vals[:0].astype(jnp.float32)
     if bool(jnp.isnan(x_vals).any()) or (
         isinstance(x, HybridCSR) and bool(jnp.isnan(x.tail.values).any())
     ):
@@ -552,7 +559,9 @@ def fit(
                 x.tail.indices[rperm], x.tail.values[rperm], x.tail.nnz[rperm],
                 x.tail.n_rows, x.tail.n_cols,
             )
-            x = HybridCSR(x.head[rperm], tail, x.n_rows, x.n_cols)
+            x = HybridCSR(
+                x.head[rperm], tail, x.n_rows, x.n_cols, head_scale=x.head_scale
+            )
         elif isinstance(x, PaddedCSR):
             x = PaddedCSR(x.indices[rperm], x.values[rperm], x.nnz[rperm], x.n_rows, x.n_cols)
         else:
@@ -584,7 +593,14 @@ def fit(
         x = HybridCSR(
             x.head, x.tail, x.n_rows, x.n_cols,
             blk_tail=BlockCOO.from_padded(x.tail, batch_size),
+            head_scale=x.head_scale,
         )
+
+    # int8 head quantization happens LAST (after standardization, row
+    # shuffle, and padding): the quantized design is what the solver fits —
+    # see HybridCSR.quantize_head for the fixed-point argument
+    if _hybrid_int8 and isinstance(x, HybridCSR):
+        x = x.quantize_head()
 
     # ---- solver state (reference src/sgdnet.cpp:187-211) ----
     if warm_state is None:

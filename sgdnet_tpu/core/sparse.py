@@ -266,14 +266,42 @@ class HybridCSR:
     #: by fit() — the solver's batch ops prefer it when the batch selector is
     #: a block start of the matching size)
     blk_tail: BlockCOO | None = None
+    #: per-column dequantization scales (D,) f32 when `head` is int8
+    #: (quantize_head): effective head value = head * head_scale.  Consumers
+    #: fold the scales into the small operand (w, corr) so the int8 bytes are
+    #: the only HBM stream.
+    head_scale: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        return (self.head, self.tail, self.blk_tail), (self.n_rows, self.n_cols)
+        return (self.head, self.tail, self.blk_tail, self.head_scale), (
+            self.n_rows,
+            self.n_cols,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        head, tail, blk_tail = children
-        return cls(head, tail, *aux, blk_tail=blk_tail)
+        head, tail, blk_tail, head_scale = children
+        return cls(head, tail, *aux, blk_tail=blk_tail, head_scale=head_scale)
+
+    def quantize_head(self) -> "HybridCSR":
+        """Symmetric per-column int8 quantization of the dense head: scale_j
+        = max|head_ij| / 127, q = round(head / scale).  Halves (vs bf16) /
+        quarters (vs f32) the dominant HBM stream; the solver then fits the
+        elastic-net GLM of the QUANTIZED design exactly (forward and backward
+        passes both use q * scale, so the fixed point is the perturbed
+        problem's solution — the same argument as the bf16 head mode).
+        Call AFTER standardization (quantizing then centering would break
+        the int8 representation)."""
+        if self.head.dtype == jnp.int8:
+            return self
+        h = self.head.astype(jnp.float32)
+        scale = jnp.max(jnp.abs(h), axis=0) / 127.0
+        scale = jnp.where(scale == 0.0, 1.0, scale)
+        q = jnp.clip(jnp.round(h / scale), -127, 127).astype(jnp.int8)
+        return HybridCSR(
+            q, self.tail, self.n_rows, self.n_cols,
+            blk_tail=self.blk_tail, head_scale=scale,
+        )
 
     @property
     def shape(self):
@@ -304,8 +332,12 @@ class HybridCSR:
         head only; `jnp.bfloat16` halves the dominant HBM stream and doubles
         the MXU rate at a ~0.4% relative data perturbation (solver matmuls
         still accumulate in f32) — an opt-in speed mode for workloads that
-        tolerate a looser-than-1e-3 coefficient contract.
+        tolerate a looser-than-1e-3 coefficient contract.  For int8 build
+        f32 here and call `quantize_head()` afterwards (it needs per-column
+        scales; `fit(hybrid_head_dtype="int8")` does this automatically).
         """
+        if head_dtype is not None and jnp.dtype(head_dtype) == jnp.int8:
+            raise ValueError("build f32 and call quantize_head() for an int8 head")
         x = x_scipy.tocsr()
         n, p = x.shape
         col_nnz = np.bincount(x.indices, minlength=p)
@@ -350,6 +382,7 @@ class HybridCSR:
     def column_stats(self, weights=None):
         """Per-column (mean, population SD); head densely, tail sparse-aware.
         With `weights` (n,): weighted stats (see PaddedCSR.column_stats)."""
+        assert self.head.dtype != jnp.int8, "column_stats before quantize_head"
         h = self.head.astype(jnp.float64)
         if weights is None:
             h_mean = jnp.mean(h, axis=0)
@@ -369,6 +402,7 @@ class HybridCSR:
     def standardize(self, mean: jnp.ndarray, sd: jnp.ndarray):
         """Head: full center+scale (it is dense anyway).  Tail: scale-only;
         the solver carries the tail centering correction (zeros on head)."""
+        assert self.head.dtype != jnp.int8, "standardize before quantize_head"
         d = self.n_head
         head = ((self.head.astype(jnp.float64) - mean[:d]) / sd[:d]).astype(self.head.dtype)
         tail = self.tail.scale_columns(sd)
@@ -381,15 +415,24 @@ class HybridCSR:
             return self
         head = jnp.concatenate([self.head, jnp.zeros((extra, self.n_head), self.head.dtype)])
         tail = self.tail.pad_rows(n_total)
-        return HybridCSR(head, tail, n_total, self.n_cols)
+        return HybridCSR(
+            head, tail, n_total, self.n_cols,
+            blk_tail=self.blk_tail, head_scale=self.head_scale,
+        )
 
     def total_nnz(self) -> int:
         head_nnz = int(np.count_nonzero(np.asarray(self.head)))
         return head_nnz + self.tail.total_nnz()
 
+    def _head_f(self, dtype=jnp.float64) -> jnp.ndarray:
+        """Dequantized head values (test/stat paths; streams full width)."""
+        if self.head.dtype == jnp.int8:
+            return self.head.astype(dtype) * self.head_scale.astype(dtype)
+        return self.head.astype(dtype)
+
     def row_squared_norms(self, xc: jnp.ndarray | None = None) -> jnp.ndarray:
         """Per-row ||x_i - c||^2 (head already centered; c applies to tail)."""
-        h = jnp.sum(self.head.astype(jnp.float64) ** 2, axis=1)
+        h = jnp.sum(self._head_f() ** 2, axis=1)
         vals64 = self.tail.values.astype(jnp.float64)
         t = jnp.sum(vals64**2, axis=1)
         if xc is not None:
@@ -400,11 +443,20 @@ class HybridCSR:
 
     def matvec_T(self, v: jnp.ndarray) -> jnp.ndarray:
         """x.T @ v: head via matmul, tail via scatter; v (n,) or (n, m).
-        A bf16 head still accumulates in v's (wider) dtype."""
+        A bf16 head still accumulates in v's (wider) dtype; an int8 head
+        streams int8 and applies the per-column scales to the (D, m) result."""
         t = self.tail.matvec_T(v)
         v2 = v if v.ndim == 2 else v[:, None]
-        acc = jnp.promote_types(self.head.dtype, v.dtype)
-        h = jnp.dot(self.head.T, v2.astype(self.head.dtype), preferred_element_type=acc)
+        if self.head.dtype == jnp.int8:
+            # int8 values in [-127, 127] are exact in bf16
+            h = jnp.dot(
+                self.head.T.astype(jnp.bfloat16),
+                v2.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * self.head_scale[:, None]
+        else:
+            acc = jnp.promote_types(self.head.dtype, v.dtype)
+            h = jnp.dot(self.head.T, v2.astype(self.head.dtype), preferred_element_type=acc)
         d = self.n_head
         if v.ndim == 1:
             return t.at[:d].add(h[:, 0].astype(t.dtype))
@@ -413,6 +465,14 @@ class HybridCSR:
     def matmul_dense(self, w_t: jnp.ndarray) -> jnp.ndarray:
         """x @ w_t, w_t (p, k) -> (n, k)."""
         d = self.n_head
+        if self.head.dtype == jnp.int8:
+            # fold the per-column scales into the small operand
+            wt_s = (w_t[:d].astype(jnp.float32) * self.head_scale[:, None]).astype(jnp.bfloat16)
+            h = jnp.dot(
+                self.head.astype(jnp.bfloat16), wt_s, preferred_element_type=jnp.float32
+            )
+            acc = jnp.promote_types(jnp.float32, w_t.dtype)
+            return h.astype(acc) + self.tail.matmul_dense(w_t).astype(acc)
         acc = jnp.promote_types(self.head.dtype, w_t.dtype)
         h = jnp.dot(self.head, w_t[:d].astype(self.head.dtype), preferred_element_type=acc)
         return h.astype(acc) + self.tail.matmul_dense(w_t).astype(acc)

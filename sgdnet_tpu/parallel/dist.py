@@ -74,7 +74,12 @@ def shard_inputs(mesh: Mesh, x, y, weights):
         )
 
     if isinstance(x, HybridCSR):
-        x = HybridCSR(jax.device_put(x.head, row2), shard_csr(x.tail), x.n_rows, x.n_cols)
+        rep = NamedSharding(mesh, P(None))
+        x = HybridCSR(
+            jax.device_put(x.head, row2), shard_csr(x.tail), x.n_rows, x.n_cols,
+            head_scale=None if x.head_scale is None
+            else jax.device_put(x.head_scale, rep),
+        )
     elif isinstance(x, PaddedCSR):
         x = shard_csr(x)
     else:
@@ -89,6 +94,8 @@ def _specs_for_x(x):
             PaddedCSR(P(AXIS, None), P(AXIS, None), P(AXIS), x.tail.n_rows, x.tail.n_cols),
             x.n_rows,
             x.n_cols,
+            # int8 head: per-column dequantization scales are replicated
+            head_scale=None if x.head_scale is None else P(None),
         )
     if isinstance(x, PaddedCSR):
         return PaddedCSR(P(AXIS, None), P(AXIS, None), P(AXIS), x.n_rows, x.n_cols)
@@ -163,7 +170,10 @@ def fit_path_sharded(
             tail = PaddedCSR(
                 x_l.tail.indices, x_l.tail.values, x_l.tail.nnz, n_local, x_l.tail.n_cols
             )
-            x_l = HybridCSR(x_l.head, tail, n_local, x_l.n_cols)
+            x_l = HybridCSR(
+                x_l.head, tail, n_local, x_l.n_cols,
+                blk_tail=x_l.blk_tail, head_scale=x_l.head_scale,
+            )
         elif isinstance(x_l, PaddedCSR):
             x_l = PaddedCSR(x_l.indices, x_l.values, x_l.nnz, n_local, x_l.n_cols)
         return fit_path(

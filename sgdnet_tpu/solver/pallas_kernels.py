@@ -115,10 +115,12 @@ def _kernel(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, acc_
     # loses ~1e-2 on large logits, visibly shifting sigmoids/softmaxes).
     # bf16 inputs: single-pass bf16 MXU with f32 accumulation by design.
     prec = None if xb.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    # contract via dot_general (no explicit .T — in-kernel relayouts cost)
     lp = (
-        jnp.dot(
+        jax.lax.dot_general(
             xb,
-            w_ref[:].T.astype(xb.dtype),
+            w_ref[:].astype(xb.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),  # (Bt, D) x (kp, D) -> (Bt, kp)
             preferred_element_type=jnp.float32,
             precision=prec,
         )
@@ -129,8 +131,12 @@ def _kernel(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, acc_
 
     g_out[:] = g
 
-    tile_corr = jnp.dot(
-        gc.astype(xb.dtype).T, xb, preferred_element_type=jnp.float32, precision=prec
+    tile_corr = jax.lax.dot_general(
+        gc.astype(xb.dtype),
+        xb,
+        dimension_numbers=(((0,), (0,)), ((), ())),  # (Bt, kp) x (Bt, D) -> (kp, D)
+        preferred_element_type=jnp.float32,
+        precision=prec,
     )
 
     @pl.when(i == 0)
@@ -146,11 +152,11 @@ def _kernel(xb_ref, w_ref, lpe_ref, y_ref, gm_ref, wb_ref, g_out, corr_out, acc_
         corr_out[:] = acc_ref[:]
 
 
-def _kernel_prefetch(s_ref, *refs, family_name, k):
+def _kernel_prefetch(s_ref, *refs, family_name, k, variant):
     # PrefetchScalarGridSpec passes the scalar block-offset ref first; it is
     # consumed by the index maps only
     del s_ref
-    if k == 1:
+    if variant == "vpu" and k == 1:
         _kernel_vpu1(*refs, family_name=family_name, k=k)
     else:
         _kernel(*refs, family_name=family_name, k=k)
@@ -171,9 +177,22 @@ def _pick_bt(B: int, D: int, dtype=jnp.float32):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("B", "family_name", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("B", "family_name", "interpret", "variant", "kp_lanes")
+)
 def fused_head_step_at(
-    head, start, w_h, lp_extra, yb, g_mem_b, wb, B: int, family_name: str, interpret: bool = False
+    head,
+    start,
+    w_h,
+    lp_extra,
+    yb,
+    g_mem_b,
+    wb,
+    B: int,
+    family_name: str,
+    interpret: bool = False,
+    variant: str = "mxu",
+    kp_lanes: int = 8,
 ):
     """Fused lp/gradient/corr on rows [start, start+B) of the FULL head.
 
@@ -189,6 +208,13 @@ def fused_head_step_at(
 
     `start` must be a multiple of the tile size (block sampling guarantees
     start = j * B and B % Bt == 0).  Returns (g (B, k), corr (k, D)) in f32.
+
+    `variant`: "mxu" runs both passes as matmuls on the systolic array —
+    with bf16 tiles each (Bt, D) x (D, kp) pass costs ~the tile's DMA time,
+    so the kernel is HBM-bound at one pass (measured: the k=1 "vpu" lane-
+    reduction formulation is VPU-compute-bound at ~200 GB/s; the mxu form
+    reaches ~2x that).  `kp_lanes` pads the class dimension (MXU cost is
+    identical for kp in [1, 128]; it only sizes the accumulator/outputs).
     """
     n_pad, D = head.shape
     k = w_h.shape[0]
@@ -201,7 +227,7 @@ def fused_head_step_at(
     g_mem_b = g_mem_b.astype(jnp.float32)
     wb = wb.astype(jnp.float32)
 
-    kp = max(8, ((k + 7) // 8) * 8)
+    kp = max(kp_lanes, ((k + 7) // 8) * 8)
     if kp != k:
         pad = [(0, 0), (0, kp - k)]
         w_h = jnp.pad(w_h, [(0, kp - k), (0, 0)])
@@ -231,7 +257,7 @@ def fused_head_step_at(
         scratch_shapes=[pltpu.VMEM((kp, D), jnp.float32)],
     )
     g, corr = pl.pallas_call(
-        functools.partial(_kernel_prefetch, family_name=family_name, k=k),
+        functools.partial(_kernel_prefetch, family_name=family_name, k=k, variant=variant),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, kp), jnp.float32),

@@ -205,10 +205,17 @@ def _batch_predict(x, xc, w, sel, B: int):
     if isinstance(x, HybridCSR):
         d = x.n_head
         hb = _rows(x.head, sel, B)  # (B, D)
-        # bf16 head: feed the MXU in bf16 but accumulate in w's dtype —
-        # halves the dominant HBM stream and doubles the MXU rate
-        wh = w[:, :d] if w.dtype == hb.dtype else w[:, :d].astype(hb.dtype)
-        lp = jnp.dot(hb, wh.T, preferred_element_type=w.dtype)  # MXU
+        if hb.dtype == jnp.int8:
+            # int8 head: per-column scales fold into w (lp_b = q_b . (s*w)),
+            # the MXU runs bf16 on the exactly-representable int8 values, and
+            # the int8 bytes are the only HBM stream — quarter of f32
+            wh = (w[:, :d] * x.head_scale.astype(w.dtype)).astype(jnp.bfloat16)
+            lp = jnp.dot(hb.astype(jnp.bfloat16), wh.T, preferred_element_type=w.dtype)
+        else:
+            # bf16 head: feed the MXU in bf16 but accumulate in w's dtype —
+            # halves the dominant HBM stream and doubles the MXU rate
+            wh = w[:, :d] if w.dtype == hb.dtype else w[:, :d].astype(hb.dtype)
+            lp = jnp.dot(hb, wh.T, preferred_element_type=w.dtype)  # MXU
         if _use_blk_tail(x, sel, B):
             lp = lp + _coo_batch_predict(x.blk_tail, w, sel // B, B)
         else:
@@ -241,8 +248,14 @@ def _batch_outer(x, xc, g_change, sel, B: int, sparse_mode: str):
     if isinstance(x, HybridCSR):
         d = x.n_head
         hb = _rows(x.head, sel, B)  # (B, D)
-        gc = g_change if g_change.dtype == hb.dtype else g_change.astype(hb.dtype)
-        head_corr = jnp.dot(gc.T, hb, preferred_element_type=g_change.dtype)  # MXU
+        if hb.dtype == jnp.int8:
+            gc = g_change.astype(jnp.bfloat16)
+            head_corr = jnp.dot(
+                gc.T, hb.astype(jnp.bfloat16), preferred_element_type=g_change.dtype
+            ) * x.head_scale.astype(g_change.dtype)[None, :]
+        else:
+            gc = g_change if g_change.dtype == hb.dtype else g_change.astype(hb.dtype)
+            head_corr = jnp.dot(gc.T, hb, preferred_element_type=g_change.dtype)  # MXU
         if _use_blk_tail(x, sel, B):
             corr = _coo_batch_outer(x.blk_tail, g_change, sel // B)
         else:
@@ -313,7 +326,7 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
             pallas_interpret = jax.default_backend() != "tpu"
 
     def step_pallas(state: SagaState, carry_scalars, sel):
-        from sgdnet_tpu.solver.pallas_kernels import fused_head_step
+        from sgdnet_tpu.solver.pallas_kernels import fused_head_step, fused_head_step_at
 
         gamma, l1, l2 = carry_scalars
         yb = _rows(y, sel, B)
@@ -322,7 +335,7 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
 
         if isinstance(x, HybridCSR):
             d = x.n_head
-            xb = _rows(x.head, sel, B)
+            head_arr = x.head
             if _use_blk_tail(x, sel, B):
                 lp_extra = _coo_batch_predict(x.blk_tail, state.w, sel // B, B)
             else:
@@ -330,8 +343,8 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
             w_head = state.w[:, :d]
         else:
             d = x.shape[1]
-            xb = _rows(x, sel, B)
-            lp_extra = jnp.zeros((B, family.n_classes), x.dtype)
+            head_arr = x
+            lp_extra = jnp.zeros((B, family.n_classes), jnp.promote_types(x.dtype, jnp.float32))
             w_head = state.w
         lp_extra = lp_extra + state.intercept
         if offs is not None:
@@ -339,9 +352,22 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
         if xc is not None:
             lp_extra = lp_extra - jnp.dot(state.w, xc.astype(state.w.dtype))
 
-        g, corr_head = fused_head_step(
-            xb, w_head, lp_extra, yb, g_mem_b, wb, family.name, interpret=pallas_interpret
-        )
+        if sel.ndim == 0:
+            # block sampling: feed the kernel the FULL head + a scalar-
+            # prefetch block offset.  pallas_call is opaque to XLA slice
+            # fusion, so slicing the block out first would materialize a
+            # (B, D) copy per step and triple HBM traffic; the prefetch
+            # variant DMAs each (Bt, D) tile exactly once — the one-pass
+            # schedule that makes this kernel beat XLA's two passes.
+            g, corr_head = fused_head_step_at(
+                head_arr, sel, w_head, lp_extra, yb, g_mem_b, wb, B, family.name,
+                interpret=pallas_interpret,
+            )
+        else:
+            g, corr_head = fused_head_step(
+                _rows(head_arr, sel, B), w_head, lp_extra, yb, g_mem_b, wb, family.name,
+                interpret=pallas_interpret,
+            )
         g_change = g - g_mem_b
         g_mem = _set_rows(state.g_mem, sel, g, B)
 

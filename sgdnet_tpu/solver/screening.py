@@ -84,9 +84,12 @@ def _column_subset(x, xc, cols_np: np.ndarray, p: int, dtype):
     if isinstance(x, HybridCSR):
         n_pad = x.n_rows
         d = x.n_head
-        # head part: gather head columns (dummy/tail slots -> 0)
+        # head part: gather head columns (dummy/tail slots -> 0); an int8
+        # head dequantizes per gathered column
         head_cols = jnp.where(cols < d, cols, 0)
         head_part = x.head[:, head_cols].astype(dtype) * (cols < d)[None, :]
+        if x.head.dtype == jnp.int8:
+            head_part = head_part * x.head_scale[head_cols].astype(dtype)[None, :]
         # tail part: scatter nonzeros through a col -> slot lookup
         slot = np.full(p + 1, K, dtype=np.int32)
         real = cols_np < p

@@ -89,3 +89,43 @@ def test_kernel_bf16_head():
     np.testing.assert_allclose(
         np.asarray(c16), np.asarray(c32), atol=5e-2 * max(1.0, float(jnp.abs(c32).max()))
     )
+
+
+@pytest.mark.parametrize("variant,kp_lanes", [("vpu", 8), ("mxu", 8), ("mxu", 128)])
+def test_prefetch_kernel_matches_reference(variant, kp_lanes):
+    """Full-head scalar-prefetch variant (block sampling path)."""
+    from sgdnet_tpu.solver.pallas_kernels import fused_head_step_at
+
+    rng = np.random.default_rng(3)
+    n_pad, B, D, k = 512, 128, 256, 1
+    head = jnp.asarray(rng.normal(size=(n_pad, D)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, D)).astype(np.float32))
+    lpe = jnp.asarray(rng.normal(size=(B, k)).astype(np.float32))
+    y = jnp.asarray((rng.random((n_pad, k)) < 0.5).astype(np.float32))
+    gm = jnp.asarray(rng.normal(size=(n_pad, k)).astype(np.float32))
+    wb = jnp.ones((B,), jnp.float32)
+    for start in (0, 128, 384):
+        yb, gmb = y[start : start + B], gm[start : start + B]
+        g, corr = fused_head_step_at(
+            head, jnp.int32(start), w, lpe, yb, gmb, wb, B, "binomial",
+            interpret=INTERPRET, variant=variant, kp_lanes=kp_lanes,
+        )
+        xb = head[start : start + B]
+        g_ref = (jax.nn.sigmoid(xb @ w.T + lpe) - yb) * wb[:, None]
+        corr_ref = (g_ref - gmb).T @ xb
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(corr), np.asarray(corr_ref), atol=2e-3)
+
+
+def test_fit_block_pallas_matches_xla():
+    """End-to-end block-sampling fit through the prefetch kernel."""
+    import sgdnet_tpu as st
+
+    x, y = random_data(n=256, p=16, family="binomial", seed=5)
+    common = dict(
+        family="binomial", nlambda=4, thresh=1e-5, maxit=300, batch_size=64,
+        sampling="block",
+    )
+    f_xla = st.fit(x, y, use_pallas=False, **common)
+    f_pal = st.fit(x, y, use_pallas=True, lambda_path=f_xla.lambda_, **common)
+    np.testing.assert_allclose(f_pal.beta, f_xla.beta, atol=1e-4)

@@ -83,3 +83,81 @@ def test_bf16_hybrid_layout_exact_split():
     got = np.asarray(xh.matvec_T(jnp.asarray(v)))
     assert got.dtype == np.float32
     np.testing.assert_allclose(got, x[:, perm].T @ v, atol=2e-2 * np.abs(x.T @ v).max())
+
+
+def test_int8_head_close_to_f32():
+    """int8 head storage (per-column symmetric quantization, scales folded
+    into w) converges near the f32 solution; the perturbation is ~1/254 of
+    each column's max, so the contract loosens to ~4e-2 relative."""
+    xs, y = _sparse_problem(n=400, p=64, family="binomial", seed=23)
+    kw = dict(
+        family="binomial", alpha=0.5, nlambda=6, batch_size=32, seed=7,
+        hybrid=True, hybrid_max_head=32, hybrid_coverage=0.8,
+    )
+    ref = st.fit(xs, y, dtype=np.float32, **kw)
+    q8 = st.fit(xs, y, dtype=np.float32, hybrid_head_dtype="int8", **kw)
+    scale = max(np.abs(ref.beta).max(), 1.0)
+    assert np.max(np.abs(q8.beta - ref.beta)) <= 4e-2 * scale
+    assert np.max(np.abs(q8.a0 - ref.a0)) <= 4e-2 * max(np.abs(ref.a0).max(), 1.0)
+
+
+def test_int8_head_exact_when_integer_data():
+    """With integer data whose column max is 127 and standardize=False, the
+    int8 quantization is EXACT, so the int8 fit must reproduce the f32 fit
+    at solver precision — isolates the plumbing from quantization noise."""
+    rng = np.random.default_rng(4)
+    n, p = 256, 48
+    x = rng.integers(-5, 6, size=(n, p)).astype(np.float64)
+    x[:, rng.random(p) < 0.5] *= rng.integers(1, 4)
+    x[0, :] = 127  # pin every column's |max| at 127 -> scale exactly 1
+    w_true = np.zeros(p)
+    w_true[:4] = [0.02, -0.015, 0.01, 0.005]
+    yp = 1.0 / (1.0 + np.exp(-(x @ w_true)))
+    y = (rng.random(n) < yp).astype(np.float64)
+    kw = dict(
+        family="binomial", alpha=0.5, nlambda=5, batch_size=32, seed=2,
+        hybrid=True, hybrid_max_head=32, hybrid_coverage=0.8, standardize=False,
+    )
+    ref = st.fit(sp.csr_matrix(x), y, dtype=np.float32, **kw)
+    q8 = st.fit(sp.csr_matrix(x), y, dtype=np.float32, hybrid_head_dtype="int8", **kw)
+    # the data is exact; the residual difference is the bf16 cast of w
+    # inside the int8 matmul (~1e-4 measured) — an indexing/scale bug would
+    # be orders of magnitude larger
+    np.testing.assert_allclose(q8.beta, ref.beta, atol=5e-4)
+    np.testing.assert_allclose(q8.a0, ref.a0, atol=5e-4)
+
+
+def test_int8_quantize_head_roundtrip():
+    """quantize_head: dequantized values within scale/2 of the original;
+    matvec_T / matmul_dense agree with the dequantized dense operator."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(64, 40)) * (1 + 4 * rng.random(40))
+    x[np.abs(x) < 0.7] = 0.0
+    xh, _ = HybridCSR.split_columns(sp.csr_matrix(x), coverage=0.7, max_head=16)
+    q = xh.quantize_head()
+    assert q.head.dtype == jnp.int8
+    deq = np.asarray(q.head).astype(np.float64) * np.asarray(q.head_scale)
+    err = np.abs(deq - np.asarray(xh.head))
+    assert (err <= np.asarray(q.head_scale) / 2 + 1e-12).all()
+
+    dense_q = deq.copy()
+    tail_dense = np.asarray(xh.tail.to_dense())
+    full_q = tail_dense.copy()
+    full_q[:, : q.n_head] += dense_q
+    # bf16 rounding of v inside the head matmul gives ~0.4% of the SUM OF
+    # MAGNITUDES, which cancellation can amplify relative to the result —
+    # compare with an absolute tolerance on the result scale
+    v = rng.normal(size=(64, 3))
+    want = full_q.T @ v
+    np.testing.assert_allclose(
+        np.asarray(q.matvec_T(jnp.asarray(v, jnp.float32))), want,
+        atol=2e-2 * np.abs(want).max(),
+    )
+    wt = rng.normal(size=(xh.n_cols, 2))
+    want2 = full_q @ wt
+    np.testing.assert_allclose(
+        np.asarray(q.matmul_dense(jnp.asarray(wt, jnp.float32))), want2,
+        atol=2e-2 * np.abs(want2).max(),
+    )

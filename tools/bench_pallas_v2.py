@@ -72,15 +72,23 @@ def main():
         lpe = jnp.zeros((B, k), jnp.float32)
         return fused_head_step(xb, w_c, lpe, yb, gmb, wb, "binomial")
 
-    def pallas_new(head, start, w_c, y, gm, wall):
-        yb = jax.lax.dynamic_slice_in_dim(y, start, B, axis=0)
-        gmb = jax.lax.dynamic_slice_in_dim(gm, start, B, axis=0)
-        wb = jax.lax.dynamic_slice_in_dim(wall, start, B, axis=0)
-        lpe = jnp.zeros((B, k), jnp.float32)
-        return fused_head_step_at(head, start, w_c, lpe, yb, gmb, wb, B, "binomial")
+    def mk_pallas(variant, kp_lanes):
+        def pallas_new(head, start, w_c, y, gm, wall):
+            yb = jax.lax.dynamic_slice_in_dim(y, start, B, axis=0)
+            gmb = jax.lax.dynamic_slice_in_dim(gm, start, B, axis=0)
+            wb = jax.lax.dynamic_slice_in_dim(wall, start, B, axis=0)
+            lpe = jnp.zeros((B, k), jnp.float32)
+            return fused_head_step_at(
+                head, start, w_c, lpe, yb, gmb, wb, B, "binomial",
+                variant=variant, kp_lanes=kp_lanes,
+            )
+
+        return pallas_new
 
     for name, body in (("xla pair", xla_pair), ("pallas v1 (slice-fed)", pallas_old),
-                       ("pallas v2 (full-head prefetch)", pallas_new)):
+                       ("pallas v2 prefetch vpu", mk_pallas("vpu", 8)),
+                       ("pallas v3 prefetch mxu kp8", mk_pallas("mxu", 8)),
+                       ("pallas v3 prefetch mxu kp128", mk_pallas("mxu", 128))):
         try:
             run = mk(body)
             key = jax.random.PRNGKey(0)
