@@ -107,18 +107,12 @@ def as_padded(csr_np):
 
 def to_hybrid(csr_np, max_head=4096, coverage=0.9, head_dtype=None):
     """numpy padded-CSR dict -> dense-head/sparse-tail HybridCSR layout."""
-    import jax.numpy as jnp
-
     from sgdnet_tpu.core.sparse import HybridCSR
 
     xs = _to_scipy(csr_np)
-    quant = head_dtype is not None and jnp.dtype(head_dtype) == jnp.int8
-    xh, perm = HybridCSR.split_columns(
-        xs, coverage=coverage, max_head=max_head,
-        head_dtype=None if quant else head_dtype,
-    )
-    if quant:
-        xh = xh.quantize_head()
+    # int8 is quantized host-side inside split_columns (only int8 bytes
+    # cross the slow relay); valid here because the bench never standardizes
+    xh, perm = HybridCSR.split_columns(xs, coverage=coverage, max_head=max_head, head_dtype=head_dtype)
     col_nnz = np.bincount(xs.indices, minlength=csr_np["p"])
     head_nnz = int(col_nnz[perm[: xh.n_head]].sum())  # host-side (no readback)
     log(
@@ -170,6 +164,7 @@ def bench_sparse_epoch(
             x = HybridCSR(
                 x.head, x.tail, x.n_rows, x.n_cols,
                 blk_tail=BlockCOO.from_padded(x.tail, batch_size),
+                head_scale=x.head_scale,
             )
     y = jnp.concatenate([jnp.asarray(y), jnp.zeros((n_pad - n, 1), jnp.float32)])
     weights = jnp.concatenate([jnp.ones((n,), jnp.float32), jnp.zeros((n_pad - n,), jnp.float32)])
@@ -239,8 +234,17 @@ def bench_sparse_epoch(
     return nnz_per_s
 
 
-def bench_dense_multinomial(n=65536, p=784, k=10, batch_size=4096, epochs=3):
-    """Secondary: dense multinomial epoch throughput (MXU-bound path)."""
+def bench_dense_multinomial(
+    n=65536, p=784, k=10, batch_size=4096, epochs=3, matmul_precision="highest",
+    label="dense multinomial",
+):
+    """Secondary: dense multinomial epoch throughput (MXU-bound path).
+
+    The default shape is the reference-scale workload; `main()` also runs an
+    MXU-meaningful shape (n=131072, p=8192, k=64) with
+    matmul_precision="default" (single-pass bf16 MXU; "highest" runs the
+    6-pass true-f32 emulation) to report dense-path FLOP health vs the v5e
+    peak (197 bf16 TFLOP/s)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -249,41 +253,47 @@ def bench_dense_multinomial(n=65536, p=784, k=10, batch_size=4096, epochs=3):
     from sgdnet_tpu.penalties import select_penalty
     from sgdnet_tpu.solver.saga import SolverConfig, _make_epoch, init_state
 
-    rng = np.random.default_rng(0)
-    x = rng.normal(size=(n, p)).astype(np.float32)
-    y = np.eye(k, dtype=np.float32)[rng.integers(0, k, n)]
+    # generate on device: multi-GB host->device pushes through the relay are
+    # slow, and the values don't matter for throughput
+    key = jax.random.PRNGKey(0)
+    x = jax.jit(lambda kk: jax.random.normal(kk, (n, p), jnp.float32))(key)
+    yi = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, k)
+    y = jax.nn.one_hot(yi, k, dtype=jnp.float32)
     weights = jnp.ones((n,), jnp.float32)
 
     family = get_family("multinomial", n_classes=k)
     penalty = select_penalty(1.0, "multinomial")
-    config = SolverConfig(batch_size=batch_size, fit_intercept=True)
+    config = SolverConfig(
+        batch_size=batch_size, fit_intercept=True, matmul_precision=matmul_precision,
+        sampling="block",
+    )
     state = init_state(n, p, k, jnp.float32)
 
     @partial(jax.jit, static_argnames=("family", "penalty", "config", "epochs"))
     def run(x, y, weights, state, key, family, penalty, config, epochs):
-        epoch = _make_epoch(x, y, weights, None, jnp.float32(n), family, penalty, config)
+        with jax.default_matmul_precision(config.matmul_precision):
+            epoch = _make_epoch(x, y, weights, None, jnp.float32(n), family, penalty, config)
 
-        def body(state, i):
-            return epoch(state, jax.random.fold_in(key, i), jnp.float32(1e-3), jnp.float32(1e-4), jnp.float32(0.0)), None
+            def body(state, i):
+                return epoch(state, jax.random.fold_in(key, i), jnp.float32(1e-3), jnp.float32(1e-4), jnp.float32(0.0)), None
 
-        return jax.lax.scan(body, state, jnp.arange(epochs))[0]
+            return jax.lax.scan(body, state, jnp.arange(epochs))[0]
 
-    key = jax.random.PRNGKey(0)
-    xd, yd = jnp.asarray(x), jnp.asarray(y)
-    state = run(xd, yd, weights, state, key, family, penalty, config, epochs)
+    state = run(x, y, weights, state, key, family, penalty, config, epochs)
     float(jnp.sum(state.w))
     # best-of-3 with distinct keys; each timing ends in a scalar host
     # readback — block_until_ready returns early on the relay (see above)
     dt = float("inf")
     for r in range(1, 4):
         t0 = time.perf_counter()
-        out = run(xd, yd, weights, state, jax.random.fold_in(key, r), family, penalty, config, epochs)
+        out = run(x, y, weights, state, jax.random.fold_in(key, r), family, penalty, config, epochs)
         float(jnp.sum(out.w))
         dt = min(dt, time.perf_counter() - t0)
     flops = 4 * n * p * k * epochs  # fwd + bwd matmuls, 2 flops/MAC
     log(
-        f"dense multinomial bench: n={n} p={p} k={k} B={batch_size}: {epochs} epochs "
-        f"in {dt:.3f}s -> {n * epochs / dt:.3e} samples/s, {flops / dt / 1e12:.2f} TFLOP/s"
+        f"{label} bench: n={n} p={p} k={k} B={batch_size} prec={matmul_precision}: "
+        f"{epochs} epochs in {dt:.3f}s -> {n * epochs / dt:.3e} samples/s, "
+        f"{flops / dt / 1e12:.2f} TFLOP/s"
     )
     return n * epochs / dt
 
@@ -296,6 +306,15 @@ def main():
         bench_dense_multinomial()
     except Exception as e:  # noqa: BLE001
         log(f"dense multinomial bench failed: {e}")
+    try:
+        # MXU-health evidence at a matmul-meaningful shape (VERDICT r1 #10):
+        # 131072x8192 f32 design (4.3 GB), 64 classes, single-pass bf16 MXU
+        bench_dense_multinomial(
+            n=131072, p=8192, k=64, batch_size=8192, epochs=3,
+            matmul_precision="default", label="dense multinomial MXU",
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"dense MXU bench failed: {e}")
     data = make_sparse_binomial()
     try:
         baseline = measure_cpu_baseline(data[0], data[1])
@@ -304,22 +323,23 @@ def main():
         baseline = CPU_BASELINE_NNZ_PER_S
 
     best = 0.0
-    # sweep over batch size / layout (winners of the measured B x D cross).
-    # Each config builds its device layout inside the call and frees it on
-    # return — a 16k-wide f32 head is 6.9 GB of HBM, so layouts must NOT be
-    # cached across configs (two resident heads OOM the 16 GB chip).
-    # bf16-head configs are included only because their convergence was
-    # validated on-chip against f32 (tools/validate_bf16.py; RESULTS.md):
-    # objective rel diff 4.4e-7, coefficients 3.3e-5 relative.
+    # sweep over layout / head dtype (winners of the measured D x dtype x
+    # refresh cross, tools/bench_layout_sweep.py).  Each config builds its
+    # device layout inside the call and frees it on return — layouts must
+    # NOT be cached across configs (two resident heads OOM the 16 GB chip).
+    # Reduced-precision head configs are included only because their
+    # convergence was validated on-chip against f32
+    # (tools/validate_bf16.py; RESULTS.md).  `epochs` is set to the refresh
+    # period so the g_sum refresh cost is sampled at its true amortized rate.
     import jax.numpy as jnp
 
     for kwargs in (
-        dict(batch_size=8192, hybrid=True, max_head=16384, coverage=0.98, sampling="block",
-             g_sum_refresh_every=4, head_dtype="bfloat16"),
         dict(batch_size=8192, hybrid=True, max_head=32768, coverage=0.995, sampling="block",
-             g_sum_refresh_every=4, head_dtype="bfloat16"),
+             g_sum_refresh_every=8, head_dtype="int8", epochs=8),
+        dict(batch_size=8192, hybrid=True, max_head=24576, coverage=0.99, sampling="block",
+             g_sum_refresh_every=8, head_dtype="int8", epochs=8),
         dict(batch_size=8192, hybrid=True, max_head=16384, coverage=0.98, sampling="block",
-             g_sum_refresh_every=4),
+             g_sum_refresh_every=4, head_dtype="bfloat16", use_pallas=True, epochs=8),
     ):
         try:
             kw = dict(kwargs)

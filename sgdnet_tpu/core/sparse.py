@@ -332,12 +332,16 @@ class HybridCSR:
         head only; `jnp.bfloat16` halves the dominant HBM stream and doubles
         the MXU rate at a ~0.4% relative data perturbation (solver matmuls
         still accumulate in f32) — an opt-in speed mode for workloads that
-        tolerate a looser-than-1e-3 coefficient contract.  For int8 build
-        f32 here and call `quantize_head()` afterwards (it needs per-column
-        scales; `fit(hybrid_head_dtype="int8")` does this automatically).
+        tolerate a looser-than-1e-3 coefficient contract.  `jnp.int8`
+        quantizes per column HOST-SIDE (symmetric, scales in `head_scale`)
+        so only the int8 bytes cross to the device — but it quantizes the
+        RAW values, so it is only correct when no standardization follows;
+        `fit(hybrid_head_dtype="int8")` instead builds f32 and calls
+        `quantize_head()` after standardizing.
         """
-        if head_dtype is not None and jnp.dtype(head_dtype) == jnp.int8:
-            raise ValueError("build f32 and call quantize_head() for an int8 head")
+        quant_int8 = head_dtype is not None and jnp.dtype(head_dtype) == jnp.int8
+        if quant_int8:
+            head_dtype = None
         x = x_scipy.tocsr()
         n, p = x.shape
         col_nnz = np.bincount(x.indices, minlength=p)
@@ -377,6 +381,17 @@ class HybridCSR:
         ti[t_rows, pos] = t_cols
         tv[t_rows, pos] = t_vals
         tail = PaddedCSR(jnp.asarray(ti), jnp.asarray(tv, dtype=dtype), jnp.asarray(t_nnz), n, p)
+        if quant_int8:
+            scale = np.abs(head).max(axis=0) / 127.0
+            scale[scale == 0.0] = 1.0
+            q = np.clip(np.round(head / scale), -127, 127).astype(np.int8)
+            return (
+                cls(
+                    jnp.asarray(q), tail, n, p,
+                    head_scale=jnp.asarray(scale, jnp.float32),
+                ),
+                perm,
+            )
         return cls(jnp.asarray(head, head_dtype if head_dtype is not None else dtype), tail, n, p), perm
 
     def column_stats(self, weights=None):

@@ -1,20 +1,30 @@
-"""Pallas TPU kernels for the SAGA hot path.
+"""Pallas TPU kernel for the SAGA hot path.
 
-`fused_head_step` fuses the dense/head part of one batched SAGA step into a
-single kernel:
+`fused_head_step_at` fuses the dense/head part of one batched SAGA step
+into a single kernel over rows [start, start+B) of the full head array:
 
-    lp   = xb @ w_h.T + lp_extra          (MXU)
-    g    = family_gradient(lp, yb) * wb   (VPU)
+    lp   = head[start:start+B] @ w_h.T + lp_extra   (MXU)
+    g    = family_gradient(lp, yb) * wb             (VPU)
     gc   = g - g_mem_b
-    corr = gc.T @ xb                      (MXU, accumulated in VMEM)
+    corr = gc.T @ block                             (MXU, VMEM accumulator)
 
-XLA schedules the two matmuls as separate HBM passes over `xb` with the
-gradient materialized in between; this kernel streams each (Bt, D) tile of
-`xb` into VMEM once and runs forward matmul, gradient, and the rank-B
-backward matmul from the same resident tile, accumulating `corr` in a VMEM
-block that is written out once.  That roughly halves HBM traffic on the
-dominant term of dense/hybrid-head steps and removes the intermediate
-round-trips.
+XLA schedules the two matmuls as separate HBM passes over the block with
+the gradient materialized in between; this kernel streams each (Bt, D)
+tile into VMEM once and runs forward matmul, gradient, and the rank-B
+backward matmul from the same resident tile.  The block offset arrives as
+a scalar-prefetch argument consumed by the index maps, so no (B, D) block
+is ever materialized (a round-1 slice-fed variant was removed: pallas_call
+is opaque to XLA slice fusion, so feeding it a sliced block forced a
+256 MB copy per step and always lost to XLA).
+
+Measured on v5e (tools/bench_layout_sweep.py, round 2): +21% epoch
+throughput over XLA's two-pass schedule at the bf16 winning config — it is
+the default for bf16 hybrid heads under block sampling.  Pallas DMA on
+this runtime sustains ~195 GB/s regardless of tile size or manual
+multi-buffering (tools/bench_pallas_dma.py, bench_dma_streams.py) while
+XLA's dense loads stream ~430 GB/s, so the kernel's one-pass advantage
+only beats XLA's two passes where XLA also pays a block-copy; for int8
+heads XLA's fused convert path is ~2x faster and the kernel is not used.
 
 The kernel runs in interpret mode off-TPU so the CPU test suite exercises
 identical code.
@@ -196,25 +206,21 @@ def fused_head_step_at(
 ):
     """Fused lp/gradient/corr on rows [start, start+B) of the FULL head.
 
-    The per-step variant below (`fused_head_step`) takes the batch block
-    `xb` as an argument — but `pallas_call` is opaque to XLA, so the
-    `dynamic_slice` that extracts the block MATERIALIZES a (B, D) copy
-    (256 MB at the bench config) before the kernel even starts, tripling
-    HBM traffic vs XLA's fused two-pass schedule; that is why the round-1
-    kernel lost (RESULTS.md round 1).  This variant instead maps the grid
-    onto the full (n_pad, D) head with a scalar-prefetch block offset, so
-    each (Bt, D) tile is DMA'd from HBM exactly once — the one-pass schedule
-    the kernel was always meant to be.
+    The grid maps onto the full (n_pad, D) head with a scalar-prefetch
+    block offset, so each (Bt, D) tile is DMA'd from HBM exactly once.
+    (A round-1 variant took the sliced block as an argument instead — but
+    `pallas_call` is opaque to XLA, so the `dynamic_slice` materialized a
+    (B, D) copy before the kernel even started, tripling HBM traffic; it
+    always lost to XLA's two-pass schedule and was removed.)
 
     `start` must be a multiple of the tile size (block sampling guarantees
     start = j * B and B % Bt == 0).  Returns (g (B, k), corr (k, D)) in f32.
 
-    `variant`: "mxu" runs both passes as matmuls on the systolic array —
-    with bf16 tiles each (Bt, D) x (D, kp) pass costs ~the tile's DMA time,
-    so the kernel is HBM-bound at one pass (measured: the k=1 "vpu" lane-
-    reduction formulation is VPU-compute-bound at ~200 GB/s; the mxu form
-    reaches ~2x that).  `kp_lanes` pads the class dimension (MXU cost is
-    identical for kp in [1, 128]; it only sizes the accumulator/outputs).
+    `variant`: "mxu" (default) runs both passes as dot_generals on the
+    systolic array and handles any k <= 128; "vpu" is a k=1 elementwise
+    multiply+reduce formulation (measured within noise of mxu at k=1).
+    `kp_lanes` pads the class dimension (MXU cost is identical for kp in
+    [1, 128]; it only sizes the accumulator/outputs).
     """
     n_pad, D = head.shape
     k = w_h.shape[0]
@@ -266,66 +272,4 @@ def fused_head_step_at(
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(start_blocks, head, w_h, lp_extra, yb, g_mem_b, wb.reshape(B, 1))
-    return g[:, :k], corr[:k]
-
-
-@functools.partial(jax.jit, static_argnames=("family_name", "interpret"))
-def fused_head_step(xb, w_h, lp_extra, yb, g_mem_b, wb, family_name: str, interpret: bool = False):
-    """Fused lp/gradient/corr for the dense head block.
-
-    xb (B, D) f32; w_h (k, D); lp_extra (B, k) = intercept + tail/centering
-    terms; yb (B, k); g_mem_b (B, k); wb (B,) sample weights.
-    Returns (g (B, k) weighted gradients, corr (k, D)).
-    """
-    B, D = xb.shape
-    k = w_h.shape[0]
-    bt = _pick_bt(B, D, xb.dtype)
-    assert bt is not None, "unsupported shapes for fused_head_step"
-    n_tiles = B // bt
-    # everything except the big xb tile runs in f32 (bf16 affects only the
-    # dominant stream; gradients/accumulators keep full precision)
-    w_h = w_h.astype(jnp.float32)
-    lp_extra = lp_extra.astype(jnp.float32)
-    yb = yb.astype(jnp.float32)
-    g_mem_b = g_mem_b.astype(jnp.float32)
-    wb = wb.astype(jnp.float32)
-
-    # pad the class dimension to a lane-friendly multiple of 8 — Mosaic
-    # rejects k=1 matvec reductions with vector accumulators; pad garbage
-    # never escapes (outputs sliced, multinomial softmax masks pads)
-    kp = max(8, ((k + 7) // 8) * 8)
-    if kp != k:
-        pad = [(0, 0), (0, kp - k)]
-        w_h = jnp.pad(w_h, [(0, kp - k), (0, 0)])
-        lp_extra = jnp.pad(lp_extra, pad)
-        yb = jnp.pad(yb, pad)
-        g_mem_b = jnp.pad(g_mem_b, pad)
-
-    grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bt, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((kp, D), jnp.float32)],
-    )
-    g, corr = pl.pallas_call(
-        functools.partial(_kernel, family_name=family_name, k=k),
-        grid_spec=grid_spec,
-        out_shape=[
-            # gradients and corr stay f32 even for a bf16 head
-            jax.ShapeDtypeStruct((B, kp), jnp.float32),
-            jax.ShapeDtypeStruct((kp, D), jnp.float32),
-        ],
-        interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
-    )(xb, w_h, lp_extra, yb, g_mem_b, wb.reshape(B, 1))
     return g[:, :k], corr[:k]

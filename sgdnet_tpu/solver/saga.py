@@ -313,9 +313,12 @@ def _dataset_loss(x, y, weights, xc, w, intercept, family: Family, config: Solve
 def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, config: SolverConfig, offs=None, pf=None, box=None):
     B = config.batch_size
 
-    # fused Pallas head kernel: only for f32 dense/hybrid with supported tiles
+    # fused Pallas head kernel: block sampling only (the scalar-prefetch
+    # grid needs a block start; the round-1 slice-fed variant always lost to
+    # XLA because pallas_call is opaque to slice fusion, and was removed),
+    # f32/bf16 dense or hybrid heads with supported tiles
     use_pallas = False
-    if config.use_pallas and not isinstance(x, PaddedCSR):
+    if config.use_pallas and config.sampling == "block" and not isinstance(x, PaddedCSR):
         from sgdnet_tpu.solver.pallas_kernels import supported
 
         head = x.head if isinstance(x, HybridCSR) else x
@@ -326,7 +329,7 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
             pallas_interpret = jax.default_backend() != "tpu"
 
     def step_pallas(state: SagaState, carry_scalars, sel):
-        from sgdnet_tpu.solver.pallas_kernels import fused_head_step, fused_head_step_at
+        from sgdnet_tpu.solver.pallas_kernels import fused_head_step_at
 
         gamma, l1, l2 = carry_scalars
         yb = _rows(y, sel, B)
@@ -352,22 +355,17 @@ def _make_step(x, y, weights, xc, w_total, family: Family, penalty: Penalty, con
         if xc is not None:
             lp_extra = lp_extra - jnp.dot(state.w, xc.astype(state.w.dtype))
 
-        if sel.ndim == 0:
-            # block sampling: feed the kernel the FULL head + a scalar-
-            # prefetch block offset.  pallas_call is opaque to XLA slice
-            # fusion, so slicing the block out first would materialize a
-            # (B, D) copy per step and triple HBM traffic; the prefetch
-            # variant DMAs each (Bt, D) tile exactly once — the one-pass
-            # schedule that makes this kernel beat XLA's two passes.
-            g, corr_head = fused_head_step_at(
-                head_arr, sel, w_head, lp_extra, yb, g_mem_b, wb, B, family.name,
-                interpret=pallas_interpret,
-            )
-        else:
-            g, corr_head = fused_head_step(
-                _rows(head_arr, sel, B), w_head, lp_extra, yb, g_mem_b, wb, family.name,
-                interpret=pallas_interpret,
-            )
+        # block sampling: feed the kernel the FULL head + a scalar-prefetch
+        # block offset.  pallas_call is opaque to XLA slice fusion, so
+        # slicing the block out first would materialize a (B, D) copy per
+        # step and triple HBM traffic; the prefetch variant DMAs each
+        # (Bt, D) tile exactly once — the one-pass schedule that makes this
+        # kernel beat XLA's two passes (+21% epoch throughput at the bf16
+        # winning config, tools/bench_layout_sweep.py).
+        g, corr_head = fused_head_step_at(
+            head_arr, sel, w_head, lp_extra, yb, g_mem_b, wb, B, family.name,
+            interpret=pallas_interpret,
+        )
         g_change = g - g_mem_b
         g_mem = _set_rows(state.g_mem, sel, g, B)
 

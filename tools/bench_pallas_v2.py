@@ -20,7 +20,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sgdnet_tpu.solver.pallas_kernels import fused_head_step, fused_head_step_at
+    from sgdnet_tpu.solver.pallas_kernels import fused_head_step_at
 
     log(f"backend: {jax.default_backend()}")
     n_pad, D, B, k = 106496, 16384, 8192, 1
@@ -64,14 +64,6 @@ def main():
         corr = jnp.dot(gc.astype(xb.dtype).T, xb, preferred_element_type=jnp.float32)
         return g, corr
 
-    def pallas_old(head, start, w_c, y, gm, wall):
-        xb = jax.lax.dynamic_slice_in_dim(head, start, B, axis=0)
-        yb = jax.lax.dynamic_slice_in_dim(y, start, B, axis=0)
-        gmb = jax.lax.dynamic_slice_in_dim(gm, start, B, axis=0)
-        wb = jax.lax.dynamic_slice_in_dim(wall, start, B, axis=0)
-        lpe = jnp.zeros((B, k), jnp.float32)
-        return fused_head_step(xb, w_c, lpe, yb, gmb, wb, "binomial")
-
     def mk_pallas(variant, kp_lanes):
         def pallas_new(head, start, w_c, y, gm, wall):
             yb = jax.lax.dynamic_slice_in_dim(y, start, B, axis=0)
@@ -85,7 +77,7 @@ def main():
 
         return pallas_new
 
-    for name, body in (("xla pair", xla_pair), ("pallas v1 (slice-fed)", pallas_old),
+    for name, body in (("xla pair", xla_pair),
                        ("pallas v2 prefetch vpu", mk_pallas("vpu", 8)),
                        ("pallas v3 prefetch mxu kp8", mk_pallas("mxu", 8)),
                        ("pallas v3 prefetch mxu kp128", mk_pallas("mxu", 128))):

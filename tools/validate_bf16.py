@@ -84,19 +84,24 @@ def run(head_dtype, data, epochs, max_head=16384, coverage=0.98):
 
 
 def main():
+    """argv: [n_epochs] [head dtypes...] — default 40 epochs, bfloat16.
+    `python tools/validate_bf16.py 40 bfloat16 int8` validates both reduced
+    head storage modes against the f32 head."""
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    names = sys.argv[2:] or ["bfloat16"]
     import jax.numpy as jnp
 
     from bench import make_sparse_binomial
 
     data = make_sparse_binomial(n=100_000, p=47_000, nnz_per_row=76)
     w32, b32, o32 = run(None, data, epochs)
-    w16, b16, o16 = run(jnp.bfloat16, data, epochs)
     scale = max(np.abs(w32).max(), 1e-12)
-    print(f"objective rel diff: {abs(o16 - o32) / max(abs(o32), 1e-12):.2e}")
-    print(f"coef max abs diff:  {np.abs(w16 - w32).max():.3e}  "
-          f"(rel to max|w|={scale:.3e}: {np.abs(w16 - w32).max() / scale:.2e})")
-    print(f"intercept diff:     {abs(b16 - b32):.3e}")
+    for name in names:
+        wq, bq, oq = run(getattr(jnp, name), data, epochs)
+        print(f"[{name}] objective rel diff: {abs(oq - o32) / max(abs(o32), 1e-12):.2e}")
+        print(f"[{name}] coef max abs diff:  {np.abs(wq - w32).max():.3e}  "
+              f"(rel to max|w|={scale:.3e}: {np.abs(wq - w32).max() / scale:.2e})")
+        print(f"[{name}] intercept diff:     {abs(bq - b32):.3e}")
 
 
 if __name__ == "__main__":
