@@ -80,9 +80,11 @@ def _sklearn_loss(m, x, y, family: str):
         return float(0.5 * np.mean((pred - np.asarray(y).ravel()) ** 2))
     if family == "binomial":
         lp = xt @ m.coef_[0] + m.intercept_[0]
-        y01 = np.asarray(y).ravel().astype(float)
-        classes = np.unique(y01)
-        y01 = (y01 == classes[-1]).astype(float)
+        # labels may be strings (e.g. heart's 'presence'/'absence'):
+        # encode against the sorted class set, matching sklearn's classes_
+        yv = np.asarray(y).ravel()
+        classes = np.unique(yv)
+        y01 = (yv == classes[-1]).astype(float)
         return float(np.mean(np.logaddexp(0, lp) - y01 * lp))
     if family == "multinomial":
         lp = xt @ m.coef_.T + m.intercept_  # (n, k)
@@ -161,9 +163,17 @@ def run_relative(datasets=None, alphas=(1.0, 0.0), **fit_kwargs):
         }
     out = {}
     for name, ((x, y), family) in datasets.items():
+        # standardize ONCE and hand both solvers the same matrix: sklearn
+        # has no internal standardization, and an L1 penalty on raw-scale
+        # coefficients is a different optimization problem (the reference's
+        # artifact compares solvers on the same standardized problem —
+        # glmnet and sgdnet both standardize internally by default)
+        xs = np.asarray(x, dtype=np.float64)
+        sd = xs.std(axis=0)
+        xs = (xs - xs.mean(axis=0)) / np.where(sd == 0.0, 1.0, sd)
         for alpha in alphas:
             pen = {1.0: "lasso", 0.0: "ridge"}.get(alpha, f"enet{alpha}")
-            ours = convergence_curve(x, y, family=family, alpha=alpha, **fit_kwargs)
-            ref = sklearn_curve(x, y, family=family, alpha=alpha)
+            ours = convergence_curve(xs, y, family=family, alpha=alpha, **fit_kwargs)
+            ref = sklearn_curve(xs, y, family=family, alpha=alpha)
             out[f"{name}/{pen}"] = {"sgdnet_tpu": ours, "sklearn": ref}
     return out

@@ -1,0 +1,60 @@
+"""Measured screening effectiveness on a sparse p >= 10k workload.
+
+The round-1 verdict asked for strong-rule screening to 'earn its name':
+screened == full at the coefficient contract on a large sparse problem,
+WITH a measured epoch-work reduction.  This runs a 50-lambda lasso path
+on a 20k x 47k sparse binomial problem (the bench generator's Zipf
+statistics), screened vs full, compares coefficients, and reports wall
+time plus the active-set fraction from fit.stats["screening"].
+
+Usage: python tools/bench_screening.py  (from /root/repo; TPU or CPU)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from bench import _to_scipy, log, make_sparse_binomial  # noqa: E402
+
+
+def main():
+    import jax
+
+    import sgdnet_tpu as st
+
+    log(f"backend: {jax.default_backend()}")
+    n, p, nnz_row = 20_000, 47_000, 40
+    data, y = make_sparse_binomial(n=n, p=p, nnz_per_row=nnz_row, seed=3)
+    xs = _to_scipy(data)
+    yv = np.asarray(y).ravel()
+
+    kw = dict(
+        family="binomial", alpha=1.0, nlambda=50, thresh=1e-4, batch_size=2048,
+        seed=0,
+    )
+    t0 = time.perf_counter()
+    full = st.fit(xs, yv, **kw)
+    _ = float(np.asarray(full.beta).sum())
+    t_full = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    scr = st.fit(xs, yv, screen=True, lambda_path=full.lambda_, **kw)
+    _ = float(np.asarray(scr.beta).sum())
+    t_scr = time.perf_counter() - t0
+
+    scale = max(np.abs(full.beta).max(), 1.0)
+    diff = np.abs(scr.beta - full.beta).max()
+    stats = scr.stats.get("screening", {})
+    log(f"coefficient agreement: max|diff| = {diff:.3e} (scale {scale:.3f}, "
+        f"{diff/scale:.2e} relative; contract 2e-3)")
+    log(f"wall: full = {t_full:.1f}s (incl. compile), screened = {t_scr:.1f}s "
+        f"-> {t_full/t_scr:.2f}x")
+    log(f"screening stats: {stats}")
+    assert diff <= 2e-3 * scale, "screened path violates the contract"
+    log("PASS")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,10 +40,20 @@ def run(head_dtype, data, epochs, max_head=16384, coverage=0.98):
 
     csr_np, y = data
     n, p = csr_np["n"], csr_np["p"]
-    x, perm = to_hybrid(csr_np, max_head=max_head, coverage=coverage, head_dtype=head_dtype)
     B = 8192
     n_pad = ((n + B - 1) // B) * B
-    x = x.pad_rows(n_pad)
+    # pad HOST-side before building the device layout: device-side pad_rows
+    # concatenation holds old+new head alive at once (a ~13 GB transient for
+    # the f32 head) and can OOM a fragmented 16 GB chip
+    pad = n_pad - n
+    csr_pad = dict(
+        csr_np,
+        indices=np.pad(csr_np["indices"], ((0, pad), (0, 0))),
+        values=np.pad(csr_np["values"], ((0, pad), (0, 0))),
+        nnz=np.pad(csr_np["nnz"], (0, pad)),
+        n=n_pad,
+    )
+    x, perm = to_hybrid(csr_pad, max_head=max_head, coverage=coverage, head_dtype=head_dtype)
     yd = jnp.concatenate([jnp.asarray(y), jnp.zeros((n_pad - n, 1), jnp.float32)])
     wts = jnp.concatenate([jnp.ones((n,), jnp.float32), jnp.zeros((n_pad - n,), jnp.float32)])
 
