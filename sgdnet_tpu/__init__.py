@@ -11,11 +11,15 @@ mesh-sharded multi-chip execution.
 from sgdnet_tpu.api.fit import SgdnetFit, fit
 from sgdnet_tpu.api.predict import predict
 from sgdnet_tpu.api.score import score
+from sgdnet_tpu.core.layout import LayoutPlan, plan_layout
 from sgdnet_tpu.core.sparse import PaddedCSR
 
 __version__ = "0.1.0"
 
-__all__ = ["fit", "predict", "score", "SgdnetFit", "PaddedCSR", "cv_fit"]
+__all__ = [
+    "fit", "predict", "score", "SgdnetFit", "PaddedCSR", "cv_fit",
+    "plan_layout", "LayoutPlan",
+]
 
 
 def cv_fit(*args, **kwargs):

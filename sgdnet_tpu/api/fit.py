@@ -233,6 +233,14 @@ def fit(
     coefficients replicated, one psum per step (see parallel/dist.py).
     `batch_size` is then the per-device batch; the global batch is
     batch_size * n_devices.
+
+    `hybrid_max_head="auto"` sizes the dense head from the measured v5e
+    cost model (core/layout.py `plan_layout`): columns whose nonzero count
+    clears the dense-stream vs gather/scatter break-even go dense, capped
+    by `hybrid_memory_budget` resident bytes.  `hybrid_head_dtype` in
+    {None, jnp.bfloat16, "int8"} sets head storage; reduced precisions
+    halve/quarter the dominant HBM stream (convergence validated on-chip,
+    RESULTS.md) and widen the auto head accordingly.
     """
     # ---- validation (reference R/sgdnet.R:211-263) ----
     if family not in FAMILIES:
@@ -249,6 +257,33 @@ def fit(
     if isinstance(hybrid_head_dtype, str):
         hybrid_head_dtype = getattr(jnp, hybrid_head_dtype)
     _hybrid_int8 = hybrid_head_dtype is not None and jnp.dtype(hybrid_head_dtype) == jnp.int8
+
+    if hybrid_max_head == "auto":
+        # measured-cost-model planner (core/layout.py): head width where the
+        # column-popularity curve crosses the dense-stream vs element-op
+        # break-even, capped by the head memory budget
+        hybrid_max_head = 16384  # fallback for non-scipy input
+        try:
+            import scipy.sparse as _sp
+
+            if _sp.issparse(x):
+                from sgdnet_tpu.core.layout import plan_layout
+
+                itemsize = (
+                    1 if _hybrid_int8
+                    else jnp.dtype(hybrid_head_dtype or dtype).itemsize
+                )
+                _plan = plan_layout(
+                    x,
+                    batch_size=batch_size,
+                    head_itemsize=itemsize,
+                    g_sum_refresh_every=g_sum_refresh_every,
+                    hbm_budget=hybrid_memory_budget,
+                )
+                hybrid_max_head = _plan.max_head
+                hybrid_coverage = 1.0  # the planner's D governs the split
+        except ImportError:
+            pass
     x, is_sparse, col_perm = _as_design_matrix(
         x,
         dtype,

@@ -350,7 +350,9 @@ class HybridCSR:
         total = max(int(covered[-1]) if len(covered) else 0, 1)
         d = int(np.searchsorted(covered, coverage * total) + 1)
         if memory_budget is not None:  # cap head bytes: n * D * itemsize
-            itemsize = 4 if dtype == jnp.float32 else 8
+            itemsize = jnp.dtype(
+                head_dtype if head_dtype is not None else (jnp.int8 if quant_int8 else dtype)
+            ).itemsize
             d = min(d, max(int(memory_budget // (n * itemsize)), 1))
         d = max(min(d, max_head, p), 1)
         d = _round_up(d, 128) if d < p else p
