@@ -320,6 +320,7 @@ class HybridCSR:
         dtype=jnp.float32,
         memory_budget: float | None = None,
         head_dtype=None,
+        as_host: bool = False,
     ):
         """Choose the head = smallest set of most-frequent columns covering
         `coverage` of all nonzeros (capped at max_head); returns
@@ -338,6 +339,11 @@ class HybridCSR:
         RAW values, so it is only correct when no standardization follows;
         `fit(hybrid_head_dtype="int8")` instead builds f32 and calls
         `quantize_head()` after standardizing.
+
+        `as_host=True` keeps every array in numpy (the returned HybridCSR is
+        a host-side container): callers that must control the host->device
+        transfer (bench.py chunks the multi-GB head upload through the slow
+        relay) convert the pieces themselves.
         """
         quant_int8 = head_dtype is not None and jnp.dtype(head_dtype) == jnp.int8
         if quant_int8:
@@ -382,19 +388,22 @@ class HybridCSR:
         tv = np.zeros((n, L), np.float64)
         ti[t_rows, pos] = t_cols
         tv[t_rows, pos] = t_vals
-        tail = PaddedCSR(jnp.asarray(ti), jnp.asarray(tv, dtype=dtype), jnp.asarray(t_nnz), n, p)
+        conv = (lambda a, dt=None: a if dt is None else a.astype(np.dtype(jnp.dtype(dt)))) if as_host else (
+            lambda a, dt=None: jnp.asarray(a) if dt is None else jnp.asarray(a, dtype=dt)
+        )
+        tail = PaddedCSR(conv(ti), conv(tv, dtype), conv(t_nnz), n, p)
         if quant_int8:
             scale = np.abs(head).max(axis=0) / 127.0
             scale[scale == 0.0] = 1.0
             q = np.clip(np.round(head / scale), -127, 127).astype(np.int8)
             return (
                 cls(
-                    jnp.asarray(q), tail, n, p,
-                    head_scale=jnp.asarray(scale, jnp.float32),
+                    conv(q), tail, n, p,
+                    head_scale=conv(scale, jnp.float32),
                 ),
                 perm,
             )
-        return cls(jnp.asarray(head, head_dtype if head_dtype is not None else dtype), tail, n, p), perm
+        return cls(conv(head, head_dtype if head_dtype is not None else dtype), tail, n, p), perm
 
     def column_stats(self, weights=None):
         """Per-column (mean, population SD); head densely, tail sparse-aware.
