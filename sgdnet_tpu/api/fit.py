@@ -722,11 +722,11 @@ def fit(
     if screen:
         # sequential strong-rule screening with KKT safety checks
         # (solver/screening.py) — single-device, l1 > 0 paths; all layouts,
-        # penalty factors, box limits and exclusions supported (round 2)
-        if mesh is not None or alpha == 0.0 or debug or offs_dev is not None:
+        # penalty factors, box limits, exclusions (round 2) and offsets
+        # (round 3: they only shift the full-data linear predictors)
+        if mesh is not None or alpha == 0.0 or debug:
             raise ValueError(
-                "screen=True requires a single device, alpha > 0, "
-                "debug=False, and no link-family offset"
+                "screen=True requires a single device, alpha > 0, and debug=False"
             )
         from types import SimpleNamespace
 
@@ -735,6 +735,7 @@ def fit(
         w_scr, b_scr, dev_scr, it_scr, codes_scr, n_iter, scr_stats = screened_path(
             x, y_proc, weights, gammas, l1s, l2s, thresh, key, fam, penalty, config,
             xc=xc, pf=pf_dev, box=box, always_inactive=excl_mask,
+            offs=offs_dev, intercept0=b0_offs if offs_dev is not None else None,
         )
         state = None
         results = SimpleNamespace(

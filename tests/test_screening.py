@@ -68,6 +68,89 @@ def test_screened_sparse_layouts(layout):
     assert scr.stats["screening"]["mean_active"] < 0.6 * p
 
 
+def test_screened_offset_binomial():
+    """Round-3: offsets work under screening (they only shift the full-data
+    linear predictors) — screened ≡ unscreened on an offset binomial fit."""
+    x, y = random_data(n=180, p=150, family="binomial", seed=11)
+    rng = np.random.default_rng(12)
+    offs = rng.normal(size=len(y)) * 0.5
+    kw = dict(family="binomial", thresh=1e-6, maxit=2000, dtype=np.float64, offset=offs)
+    full = st.fit(x, y, nlambda=8, **kw)
+    scr = st.fit(x, y, lambda_path=full.lambda_, screen=True, **kw)
+    scale = max(1.0, np.abs(full.beta).max())
+    np.testing.assert_allclose(scr.beta, full.beta, atol=2e-3 * scale)
+    np.testing.assert_allclose(scr.a0, full.a0, atol=5e-3 * scale)
+    assert scr.stats["screening"]["kkt_clean"] is True
+
+
+def test_screening_kkt_expands_until_clean():
+    """The KKT safety loop keeps expanding past max_kkt_rounds (with a
+    RuntimeWarning) instead of silently returning an inexact solution.
+
+    Forcing repeated expansions: correlated features + a tiny screening
+    group + an artificially hostile rule is hard to arrange through the
+    public API, so this drives screened_path directly with max_kkt_rounds=0
+    — every violation round then warns, and the result must STILL match the
+    unscreened fit exactly."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from sgdnet_tpu.solver.screening import screened_path
+
+    import jax
+
+    from sgdnet_tpu.families import get_family
+    from sgdnet_tpu.penalties import select_penalty
+    from sgdnet_tpu.solver.saga import SolverConfig, fit_path, init_state
+    from sgdnet_tpu.solver.stepsize import saga_step_sizes, power_iteration_sq_norm
+
+    rng = np.random.default_rng(13)
+    n, p = 128, 60
+    x = rng.normal(size=(n, p))
+    beta = np.zeros(p)
+    beta[:4] = [3.0, -2.0, 1.5, -1.0]
+    y = x @ beta + 0.1 * rng.normal(size=n)
+
+    dtype = jnp.float64
+    xm, xs = x.mean(0), x.std(0)
+    xs[xs == 0] = 1.0
+    x_std = jnp.asarray((x - xm) / xs, dtype)
+    ym, ysd = y.mean(), y.std()
+    y_proc = jnp.asarray(((y - ym) / ysd).reshape(-1, 1), dtype)
+    weights = jnp.ones((n,), dtype)
+    fam = get_family("gaussian")
+    pen = select_penalty(1.0, "gaussian")
+    config = SolverConfig(batch_size=32, max_iter=3000, fit_intercept=True)
+    lmax = float(np.abs(x_std.T @ y_proc[:, 0]).max()) / n
+    l1s = jnp.asarray(np.geomspace(lmax, lmax * 1e-3, 6), dtype)
+    l2s = jnp.zeros_like(l1s)
+    max_sq = float(jnp.max(jnp.sum(x_std**2, axis=1)))
+    top_sq = power_iteration_sq_norm(x_std, None) / n * 1.2
+    gammas = saga_step_sizes(max_sq, top_sq, l2s, float(n), 32, True, 1.0).astype(dtype)
+
+    # reference solution: the same engine, full width, same inputs
+    state0 = init_state(n, p, 1, dtype)
+    state0 = state0._replace(intercept=fam.null_intercept(y_proc, True, weights).astype(dtype))
+    _, _, full = fit_path(
+        x_std, y_proc, weights, None, gammas, l1s, l2s, jnp.asarray(1e-7, dtype),
+        jax.random.PRNGKey(0), state0, fam, pen, config,
+    )
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        w, b, dev, iters, codes, tot, stats = screened_path(
+            x_std, y_proc, weights, gammas, l1s, l2s, 1e-7,
+            jax.random.PRNGKey(0), fam, pen, config, max_kkt_rounds=0,
+        )
+    assert stats["kkt_clean"] is True
+    # any group that needed expansion must have warned (max_kkt_rounds=0)
+    if max(stats["kkt_rounds_per_group"]) > 0:
+        assert any("KKT expansion rounds" in str(r.message) for r in rec)
+    scale = max(1.0, float(np.abs(np.asarray(full.w)).max()))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(full.w), atol=2e-3 * scale)
+
+
 def test_screened_penalty_factors_and_box():
     """Screening honors penalty factors (pf=0 always active; thresholds
     scale per-feature), box limits, and exclusions."""
