@@ -166,8 +166,6 @@ def cv_fit(
 
     offset_arr = None
     if offset is not None:
-        if parallel:
-            raise NotImplementedError("parallel CV does not support offsets yet")
         offset_arr = np.asarray(offset, dtype=np.float64)
 
     # observation weights: full-data fits take the whole vector; fold fits
@@ -178,11 +176,6 @@ def cv_fit(
         sw_arr = np.asarray(sw_arr, dtype=np.float64)
         if sw_arr.shape != (n_samples,):
             raise ValueError("sample_weight must have one entry per sample")
-    if parallel and type_measure == "auc":
-        raise NotImplementedError(
-            "type_measure='auc' is not traced-computable; use parallel=False"
-        )
-
     # full-data fit per alpha (reference R/cv_sgdnet.R:160-162)
     fits = [
         fit_fn(
@@ -225,6 +218,7 @@ def cv_fit(
                 mesh=cv_mesh,
                 seed=seed,
                 sample_weight=sw_arr,
+                offset=offset_arr,
                 **fit_kwargs,
             )
         else:

@@ -167,12 +167,82 @@ def test_parallel_cv_poisson():
 
 
 def test_parallel_cv_clear_errors():
-    """Unsupported parallel-CV combinations fail with clear messages (the
-    round-1 behavior was an opaque np.asarray crash on scipy input)."""
+    """Option-fidelity policy (round 3): options with no meaning inside the
+    traced fold program are rejected loudly; unknown kwargs raise instead of
+    being silently dropped (the round-2 behavior was **_ignored)."""
     x, y = random_data(n=120, p=5, family="binomial", seed=43)
-    with pytest.raises(NotImplementedError, match="auc"):
+    with pytest.raises(NotImplementedError, match="screen"):
         st.cv_fit(x, y, family="binomial", nfolds=3, nlambda=4, parallel=True,
-                  type_measure="auc")
-    with pytest.raises(NotImplementedError, match="offset"):
+                  screen=True)
+    with pytest.raises(TypeError):
         st.cv_fit(x, y, family="binomial", nfolds=3, nlambda=4, parallel=True,
-                  offset=np.zeros(120))
+                  not_an_option=1)
+
+
+def test_parallel_cv_auc():
+    """Traced masked rank-sum AUC (round 3) matches the serial numpy AUC
+    (reference R/score.R:203-232 rank statistic) and picks the same lambda."""
+    x, y = random_data(n=240, p=6, family="binomial", seed=44)
+    foldid = np.arange(240) % 4
+    kw = dict(family="binomial", foldid=foldid, nlambda=6, thresh=1e-5,
+              dtype=np.float64, type_measure="auc")
+    cv_serial = st.cv_fit(x, y, **kw)
+    cv_par = st.cv_fit(x, y, parallel=True, **kw)
+    # the first path point sits at the full-data lambda_max where fold
+    # solutions are ~0 and AUC is rank-noise on near-tied probabilities
+    # (exactly-zero w -> all ties -> 0.5 by definition); compare the rest
+    np.testing.assert_allclose(cv_par.cv_raw[0][:, 1:], cv_serial.cv_raw[0][:, 1:], atol=0.02)
+    assert np.isfinite(cv_par.cv_raw[0]).all()
+    assert abs(np.log(cv_par.lambda_min) - np.log(cv_serial.lambda_min)) < 1e-9
+
+
+@pytest.mark.parametrize("family", ["binomial", "gaussian"])
+def test_parallel_cv_offset(family):
+    """Per-fold offsets (round 3): link families carry offs through fit and
+    scoring; identity-link offsets are absorbed into y host-side.  Parallel
+    must match the serial per-fold refit path."""
+    rng = np.random.default_rng(45)
+    n = 240
+    x, y = random_data(n=n, p=6, family=family, seed=46)
+    offs = rng.normal(size=n) * 0.4
+    foldid = np.arange(n) % 4
+    kw = dict(family=family, foldid=foldid, nlambda=5, thresh=1e-5,
+              dtype=np.float64, offset=offs)
+    cv_serial = st.cv_fit(x, y, **kw)
+    cv_par = st.cv_fit(x, y, parallel=True, **kw)
+    np.testing.assert_allclose(cv_par.cv_raw[0], cv_serial.cv_raw[0], rtol=0.05, atol=2e-3)
+    assert abs(np.log(cv_par.lambda_min) - np.log(cv_serial.lambda_min)) < 1e-9
+
+
+@pytest.mark.parametrize("head_dtype", ["bfloat16", "int8"])
+def test_parallel_cv_head_dtype(head_dtype):
+    """Reduced-precision hybrid heads thread through parallel CV (round 3):
+    the folds fit the SAME quantized design the serial path would (int8 is
+    quantized in-trace after each fold's standardization)."""
+    rng = np.random.default_rng(47)
+    n, p = 256, 600
+    x = (rng.random((n, p)) < 0.08) * rng.normal(size=(n, p))
+    beta = np.zeros(p)
+    beta[:5] = rng.normal(size=5) * 2
+    y = x @ beta + 0.3 * rng.normal(size=n)
+    xx = sp.csr_matrix(x)
+    foldid = np.arange(n) % 4
+    kw = dict(foldid=foldid, nlambda=5, thresh=1e-5, dtype=np.float64,
+              hybrid=True, hybrid_head_dtype=head_dtype, hybrid_max_head=256)
+    cv_serial = st.cv_fit(xx, y, **kw)
+    cv_par = st.cv_fit(xx, y, parallel=True, **kw)
+    np.testing.assert_allclose(cv_par.cv_raw[0], cv_serial.cv_raw[0], rtol=0.05, atol=2e-3)
+    assert abs(np.log(cv_par.lambda_min) - np.log(cv_serial.lambda_min)) < 1e-9
+
+
+def test_parallel_cv_block_sampling():
+    """sampling='block' threads through parallel CV with the host-side row
+    shuffle (blocks must be random samples), matching serial results."""
+    x, y = random_data(n=256, p=6, seed=48)
+    foldid = np.arange(256) % 4
+    kw = dict(foldid=foldid, nlambda=5, thresh=1e-5, dtype=np.float64,
+              sampling="block", batch_size=64)
+    cv_serial = st.cv_fit(x, y, **kw)
+    cv_par = st.cv_fit(x, y, parallel=True, **kw)
+    np.testing.assert_allclose(cv_par.cv_raw[0], cv_serial.cv_raw[0], rtol=0.05, atol=2e-3)
+    assert abs(np.log(cv_par.lambda_min) - np.log(cv_serial.lambda_min)) < 1e-9
