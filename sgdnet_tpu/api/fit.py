@@ -621,8 +621,11 @@ def fit(
     # block sampling + hybrid layout: pack the tail's true nonzeros per block
     # (BlockCOO) — the padded tail pays serialized gather/scatter work on its
     # ~2/3 padding; the packed view cuts the tail element-ops accordingly
-    # (measured 1.8x on the tail, tools/bench_components.py)
-    if sampling == "block" and isinstance(x, HybridCSR) and mesh is None:
+    # (measured 1.8x on the tail, tools/bench_components.py).  Sharded fits
+    # pack too (round 3): blocks are contiguous row ranges and rows-per-shard
+    # is a batch multiple, so sharding the block axis IS the row partition
+    # (shard_inputs places blk_tail with P('data', None)).
+    if sampling == "block" and isinstance(x, HybridCSR):
         from sgdnet_tpu.core.sparse import BlockCOO
 
         x = HybridCSR(
@@ -781,6 +784,15 @@ def fit(
         "nnz": _nnz_per_epoch * max(_epochs, 1),
         "nnz_per_s": _nnz_per_epoch * max(_epochs, 1) / max(_wall, 1e-9),
     }
+    if isinstance(x, HybridCSR):
+        _stats["layout"] = {
+            "kind": "hybrid", "head_width": x.n_head,
+            "head_dtype": str(x.head.dtype), "blk_tail": x.blk_tail is not None,
+        }
+    elif isinstance(x, PaddedCSR):
+        _stats["layout"] = {"kind": "padded_csr", "row_width": x.row_width}
+    else:
+        _stats["layout"] = {"kind": "dense"}
     if screen:
         # screening effectiveness: mean active-set size vs p — the fraction
         # of per-epoch coefficient work the strong rule actually removed

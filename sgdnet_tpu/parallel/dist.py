@@ -75,8 +75,24 @@ def shard_inputs(mesh: Mesh, x, y, weights):
 
     if isinstance(x, HybridCSR):
         rep = NamedSharding(mesh, P(None))
+        # packed BlockCOO tail: blocks are contiguous row ranges and
+        # pad_to_shards makes rows-per-shard a batch multiple, so sharding
+        # the block axis IS the row partition (each shard gets exactly its
+        # own blocks, with block-local row indices that need no adjustment)
+        blk = x.blk_tail
+        if blk is not None:
+            from sgdnet_tpu.core.sparse import BlockCOO
+
+            blk = BlockCOO(
+                jax.device_put(blk.rows, row2),
+                jax.device_put(blk.cols, row2),
+                jax.device_put(blk.vals, row2),
+                blk.batch,
+                blk.n_cols,
+            )
         x = HybridCSR(
             jax.device_put(x.head, row2), shard_csr(x.tail), x.n_rows, x.n_cols,
+            blk_tail=blk,
             head_scale=None if x.head_scale is None
             else jax.device_put(x.head_scale, rep),
         )
@@ -89,11 +105,18 @@ def shard_inputs(mesh: Mesh, x, y, weights):
 
 def _specs_for_x(x):
     if isinstance(x, HybridCSR):
+        from sgdnet_tpu.core.sparse import BlockCOO
+
         return HybridCSR(
             P(AXIS, None),
             PaddedCSR(P(AXIS, None), P(AXIS, None), P(AXIS), x.tail.n_rows, x.tail.n_cols),
             x.n_rows,
             x.n_cols,
+            # packed tail sharded over its block axis (= the row partition)
+            blk_tail=None if x.blk_tail is None else BlockCOO(
+                P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                x.blk_tail.batch, x.blk_tail.n_cols,
+            ),
             # int8 head: per-column dequantization scales are replicated
             head_scale=None if x.head_scale is None else P(None),
         )
