@@ -258,6 +258,47 @@ def fit(
         hybrid_head_dtype = getattr(jnp, hybrid_head_dtype)
     _hybrid_int8 = hybrid_head_dtype is not None and jnp.dtype(hybrid_head_dtype) == jnp.int8
 
+    # ---- small-problem latency: run ALL preprocessing on the LOCAL CPU
+    # backend (round 3, VERDICT r2 #3).  Through the axon relay every
+    # blocking readback costs ~25 ms and a 20-lambda abalone fit paid ~36 of
+    # them (~0.9 s) around a ~0.4 s solve.  For small inputs the whole
+    # prep (stats, lambda_max, power iteration, null models) runs in
+    # microseconds on the host CPU backend; the assembled solver inputs then
+    # move to the accelerator in one device_put and the path runs as a
+    # single dispatch.  Large inputs keep the accelerator path: prep there
+    # streams the matrix a few times, which beats host compute + transfer,
+    # and the fixed sync cost amortizes.  Numerics are unchanged: with x64
+    # disabled (TPU runs) f64 requests truncate to f32 on BOTH backends.
+    from contextlib import ExitStack
+
+    _prep = ExitStack()
+    _host_prep = False
+    _backend = jax.default_backend()  # snapshot before any default_device change
+    if (
+        mesh is None
+        and warm_state is None
+        and _backend != "cpu"
+        and not isinstance(x, (PaddedCSR, HybridCSR, jax.Array))  # already on device
+    ):
+        try:
+            import scipy.sparse as _sp
+
+            if _sp.issparse(x):
+                # account for the dense hybrid head a scipy input may grow into
+                _mh = hybrid_max_head if isinstance(hybrid_max_head, (int, np.integer)) else 16384
+                _head = x.shape[0] * min(x.shape[1], _mh) if hybrid is not False and x.shape[1] > 512 else 0
+                _elems = x.nnz * 3 + _head
+            else:
+                _elems = np.asarray(x).size
+        except ImportError:
+            _elems = np.asarray(x).size
+        if _elems <= int(1e7):
+            _host_prep = True
+            try:
+                _prep.enter_context(jax.default_device(jax.local_devices(backend="cpu")[0]))
+            except RuntimeError:  # no CPU backend available: keep device prep
+                _host_prep = False
+
     if hybrid_max_head == "auto":
         # measured-cost-model planner (core/layout.py): head width where the
         # column-popularity curve crosses the dense-stream vs element-op
@@ -702,10 +743,21 @@ def fit(
                 and mesh is None
                 and isinstance(x, HybridCSR)
                 and x.head.dtype == jnp.bfloat16
-                and jax.default_backend() == "tpu"
+                and _backend == "tpu"
             )
         ),
     )
+
+    # host-CPU preprocessing ends here: move the assembled solver inputs to
+    # the accelerator in ONE transfer (CPU-committed arrays would otherwise
+    # pin the jitted path program to the CPU backend)
+    _prep.close()
+    if _host_prep:
+        _tgt = jax.devices()[0]
+        (x, y_proc, weights, xc, offs_dev, pf_dev, box, state0, gammas) = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, _tgt) if isinstance(a, jax.Array) else a,
+            (x, y_proc, weights, xc, offs_dev, pf_dev, box, state0, gammas),
+        )
 
     import time as _time
 
@@ -771,6 +823,10 @@ def fit(
         )
 
     # ---- rescale to original units (reference src/utils.h:352-378) ----
+    if not screen:
+        # ONE bulk device->host transfer for every path output (each
+        # np.asarray below would otherwise be its own ~25 ms relay sync)
+        n_iter, results = jax.device_get((n_iter, results))
     w_path = np.asarray(results.w, dtype=np.float64)  # (nl, k, p)
     _wall = _time.perf_counter() - _t0
     if isinstance(x, (PaddedCSR, HybridCSR)):
