@@ -189,6 +189,7 @@ def fit(
     feature_names=None,
     mesh=None,
     use_pallas: bool | None = None,
+    use_epoch_kernel: bool | None = None,
     screen: bool = False,
     hybrid: bool | None = None,
     hybrid_coverage: float = 0.9,
@@ -611,6 +612,27 @@ def fit(
         n_pad = pad_to_shards(n_samples, mesh.devices.size, batch_size)
     else:
         n_pad = ((n_samples + batch_size - 1) // batch_size) * batch_size
+    # ---- whole-epoch Pallas kernel gate (solver/epoch_kernel.py): dense f32
+    # VMEM-resident problems with no offsets/pf/box run each epoch as ONE
+    # kernel — the small-problem latency path (~2.7x on in-path time).  The
+    # kernel needs contiguous block batches, so an eligible fit defaults to
+    # block sampling; off-TPU it runs only on explicit opt-in (interpret
+    # mode compiles fine but is for tests, not speed).
+    from sgdnet_tpu.solver.epoch_kernel import supported as _ek_supported
+
+    _ek_ok = (
+        use_epoch_kernel is not False
+        and mesh is None
+        and not is_sparse
+        and not debug
+        and warm_state is None
+        and offs64 is None
+        and pf_dev is None
+        and box is None
+        and jnp.dtype(dtype) == jnp.float32
+        and _ek_supported(n_pad, n_features, n_classes, batch_size)
+        and (use_epoch_kernel is True or _backend == "tpu")
+    )
     if sampling is None:
         # big-data default: contiguous-block batches stream HBM (~20% faster
         # epochs); same fixed point, so the 1e-3 contract is unaffected.
@@ -619,6 +641,8 @@ def fit(
         # under a different order (refits pass `sampling` explicitly).
         if warm_state is not None:
             sampling = "permutation"
+        elif _ek_ok:
+            sampling = "block"
         else:
             sampling = "block" if n_samples >= 32768 else "permutation"
     if sampling not in ("permutation", "block"):
@@ -746,6 +770,7 @@ def fit(
                 and _backend == "tpu"
             )
         ),
+        use_epoch_kernel=_ek_ok and sampling == "block",
     )
 
     # host-CPU preprocessing ends here: move the assembled solver inputs to
@@ -849,6 +874,7 @@ def fit(
         _stats["layout"] = {"kind": "padded_csr", "row_width": x.row_width}
     else:
         _stats["layout"] = {"kind": "dense"}
+    _stats["epoch_kernel"] = config.use_epoch_kernel
     if screen:
         # screening effectiveness: mean active-set size vs p — the fraction
         # of per-epoch coefficient work the strong rule actually removed
@@ -959,6 +985,7 @@ def fit(
         sparse_mode=sparse_mode,
         g_sum_refresh_every=g_sum_refresh_every,
         use_pallas=use_pallas,
+        use_epoch_kernel=use_epoch_kernel,
         intercept_decay=intercept_decay,
     )
     return fit_obj

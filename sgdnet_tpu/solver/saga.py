@@ -116,6 +116,12 @@ class SolverConfig:
     #: optimization barrier between steps (debug/experiment knob: prevents
     #: any cross-step fusion; measured neutral on TPU)
     step_barrier: bool = False
+    #: run whole epochs as one Pallas kernel with the dataset VMEM-resident
+    #: (solver/epoch_kernel.py) — the small-problem latency path.  fit()
+    #: gates this on dense f32 inputs, block sampling, k <= 8, no
+    #: offsets/pf/box, and everything fitting the VMEM budget; measured
+    #: ~2.7x on in-path time for abalone-scale fits
+    use_epoch_kernel: bool = False
 
 
 def _psum(v, config: SolverConfig):
@@ -558,7 +564,22 @@ def fit_path(
 
 def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family, penalty, config, offs=None, pf=None, box=None):
     w_total = jnp.maximum(_psum(jnp.sum(weights), config), 1e-12)
-    epoch_fn = _make_epoch(x, y, weights, xc, w_total, family, penalty, config, offs=offs, pf=pf, box=box)
+    if config.use_epoch_kernel:
+        # small-problem path: state rides in the kernel's padded layout
+        # across the whole lambda scan; pads are zero-preserved, so the
+        # convergence check below works unchanged on the padded tiles
+        from sgdnet_tpu.solver import epoch_kernel as _ek
+
+        _k, _p = state0.w.shape
+        epoch_fn = _ek.build(
+            x, y, weights, w_total, family, penalty, config,
+            interpret=jax.default_backend() != "tpu",
+        )
+        state0 = _ek.pad_state(state0, _p)
+        unpad = partial(_ek.unpad_state, k=_k, p=_p)
+    else:
+        epoch_fn = _make_epoch(x, y, weights, xc, w_total, family, penalty, config, offs=offs, pf=pf, box=box)
+        unpad = lambda s: s
     max_iter = config.max_iter
 
     def fit_one(state: SagaState, gamma, l1, l2, lam_key):
@@ -596,15 +617,16 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
         gamma, l1, l2, i = xs
         lam_key = jax.random.fold_in(key, i)
         state, it, losses = fit_one(state, gamma, l1, l2, lam_key)
-        dev = 2.0 * _dataset_loss(x, y, weights, xc, state.w, state.intercept, family, config, offs=offs)
+        s_real = unpad(state)  # identity unless the epoch kernel's padded layout is in play
+        dev = 2.0 * _dataset_loss(x, y, weights, xc, s_real.w, s_real.intercept, family, config, offs=offs)
         if track_clamp_gap:
             dev_clamped = 2.0 * _dataset_loss(
-                x, y, weights, xc, state.w, state.intercept, family, config, offs=offs, report=False
+                x, y, weights, xc, s_real.w, s_real.intercept, family, config, offs=offs, report=False
             )
             gap = dev - dev_clamped
         else:
-            gap = jnp.zeros((), state.w.dtype)
-        out = (state.w, state.intercept, dev, it, jnp.where(it >= max_iter, 1, 0).astype(jnp.int32), losses, gap)
+            gap = jnp.zeros((), s_real.w.dtype)
+        out = (s_real.w, s_real.intercept, dev, it, jnp.where(it >= max_iter, 1, 0).astype(jnp.int32), losses, gap)
         return (state, n_iter + it), out
 
     n_lambda = gammas.shape[0]
@@ -612,4 +634,4 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
         scan_body, (state0, jnp.int32(0)), (gammas, l1s, l2s, jnp.arange(n_lambda))
     )
     results = PathResults(*outs)
-    return state, n_iter, results
+    return unpad(state), n_iter, results
