@@ -34,15 +34,19 @@ def main():
         family="binomial", alpha=1.0, nlambda=50, thresh=1e-4, batch_size=2048,
         seed=0,
     )
+    log("fitting FULL path...")
     t0 = time.perf_counter()
     full = st.fit(xs, yv, **kw)
     _ = float(np.asarray(full.beta).sum())
     t_full = time.perf_counter() - t0
+    log(f"full path done: {t_full:.1f}s, {full.stats['epochs']} epochs")
 
+    log("fitting SCREENED path...")
     t0 = time.perf_counter()
     scr = st.fit(xs, yv, screen=True, lambda_path=full.lambda_, **kw)
     _ = float(np.asarray(scr.beta).sum())
     t_scr = time.perf_counter() - t0
+    log(f"screened path done: {t_scr:.1f}s, {scr.stats['epochs']} epochs")
 
     scale = max(np.abs(full.beta).max(), 1.0)
     diff = np.abs(scr.beta - full.beta).max()
