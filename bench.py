@@ -226,10 +226,14 @@ def build_hybrid_device(csr_np, n_pad, max_head=4096, coverage=0.9, head_dtype=N
 
     from sgdnet_tpu.core.sparse import BlockCOO, HybridCSR, PaddedCSR
 
+    t0 = time.monotonic()
     xs = _to_scipy(csr_np)
     xh, perm = HybridCSR.split_columns(
         xs, coverage=coverage, max_head=max_head, head_dtype=head_dtype, as_host=True
     )
+    log(f"host-side split built in {time.monotonic() - t0:.1f}s "
+        f"(int8 quantizes sparse-side — the old densify-then-quantize path "
+        f"took ~7 min on this 2-core host and was BENCH_r02's rc=124)")
     col_nnz = np.bincount(xs.indices, minlength=csr_np["p"])
     head_nnz = int(col_nnz[perm[: xh.n_head]].sum())
     log(

@@ -20,6 +20,19 @@ computes it exactly from the column counts, subject to an HBM budget.
 
 `fit(hybrid_max_head="auto")` calls this; the explicit function is public
 for planning without fitting.
+
+Two-level heads (planner v2) were evaluated against this cost model and
+REJECTED analytically: a second bfloat16 "warm" level would admit columns
+whose count clears the bf16 break-even (passes*n_pad*2/stream / (4*elem)
+~= 27 nnz at the bench shape), but every such column already clears the
+int8 break-even (~14 nnz) and int8 storage streams HALF the bytes at the
+same sustained rate with on-chip-validated convergence (RESULTS.md,
+tools/validate_bf16.py).  Storage levels are totally ordered by stream
+cost here, so "int8 hot + bf16 warm" is strictly dominated by simply
+widening the int8 head — predicted gain <= 0, well under the >= 10%
+pursuit threshold.  Pallas-regime constants are likewise not modeled:
+the fused kernel only wins for bf16 heads under block sampling (+21%),
+a regime the planner never recommends (int8 dominates it by ~1.3x).
 """
 
 from __future__ import annotations
