@@ -492,7 +492,9 @@ def fit(
     if standardize:
         if isinstance(x, HybridCSR):
             x_center, x_scale = x.column_stats(w_stats)
-            x, xc = x.standardize(x_center, x_scale)
+            # donate the head iff fit built it (scipy ingestion): XLA then
+            # aliases the multi-GB f32 buffer in place instead of copying
+            x, xc = x.standardize(x_center, x_scale, donate=col_perm is not None)
             xc = xc.astype(dtype)
         elif is_sparse:
             x_center64, x_scale64 = x.column_stats(w_stats)
@@ -605,6 +607,16 @@ def fit(
         max_sq, top_sq, jnp.asarray(l2s), w_total, batch_size, intercept, fam.L_scaling
     )
 
+    # int8 head quantization EARLY (everything above — stats, lambda max,
+    # row norms, power iteration — runs on the exact f32 standardized head;
+    # everything below only permutes/pads rows, and per-column quantization
+    # commutes BITWISE with row shuffle and zero-row padding, so the fitted
+    # problem is identical to quantizing last).  Doing it here means the
+    # shuffle and pad copy int8, not f32: peak transient drops from ~2x f32
+    # head bytes (which crashed a D=16384 fit on the 16 GB chip) to ~1.25x.
+    if _hybrid_int8 and isinstance(x, HybridCSR):
+        x = x.quantize_head(donate=col_perm is not None)
+
     # ---- pad rows to a multiple of batch_size (x shards, if meshed) ----
     if mesh is not None:
         from sgdnet_tpu.parallel.dist import pad_to_shards
@@ -699,9 +711,10 @@ def fit(
             head_scale=x.head_scale,
         )
 
-    # int8 head quantization happens LAST (after standardization, row
-    # shuffle, and padding): the quantized design is what the solver fits —
-    # see HybridCSR.quantize_head for the fixed-point argument
+    # safety net: int8 heads are normally quantized EARLY (above, before the
+    # shuffle/pad — bitwise-identical, far smaller transients); this no-ops
+    # then, and covers any future path that reaches here with an f32 head.
+    # See HybridCSR.quantize_head for the fixed-point argument.
     if _hybrid_int8 and isinstance(x, HybridCSR):
         x = x.quantize_head()
 

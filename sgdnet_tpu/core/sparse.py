@@ -239,6 +239,28 @@ class BlockCOO:
         )
 
 
+def _quantize_head_impl(h):
+    hf = h.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(hf), axis=0) / 127.0
+    scale = jnp.where(scale == 0.0, 1.0, scale)
+    q = jnp.clip(jnp.round(hf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+_quantize_head = jax.jit(_quantize_head_impl)
+_quantize_head_donated = jax.jit(_quantize_head_impl, donate_argnums=0)
+
+
+def _std_head_impl(h, mean, sd):
+    return ((h.astype(jnp.float64) - mean) / sd).astype(h.dtype)
+
+
+_std_head = jax.jit(_std_head_impl)
+#: same-dtype output → XLA aliases the donated input in place (peak ~1x
+#: head bytes instead of the eager astype/sub/div chain's ~3x)
+_std_head_donated = jax.jit(_std_head_impl, donate_argnums=0)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class HybridCSR:
@@ -283,7 +305,7 @@ class HybridCSR:
         head, tail, blk_tail, head_scale = children
         return cls(head, tail, *aux, blk_tail=blk_tail, head_scale=head_scale)
 
-    def quantize_head(self) -> "HybridCSR":
+    def quantize_head(self, donate: bool = False) -> "HybridCSR":
         """Symmetric per-column int8 quantization of the dense head: scale_j
         = max|head_ij| / 127, q = round(head / scale).  Halves (vs bf16) /
         quarters (vs f32) the dominant HBM stream; the solver then fits the
@@ -291,13 +313,17 @@ class HybridCSR:
         passes both use q * scale, so the fixed point is the perturbed
         problem's solution — the same argument as the bf16 head mode).
         Call AFTER standardization (quantizing then centering would break
-        the int8 representation)."""
+        the int8 representation).  Per-column quantization commutes bitwise
+        with row permutation and zero-row padding (neither moves a
+        symmetric column max), so callers that own the buffer can quantize
+        EARLY and shuffle/pad the int8 result — `donate=True` additionally
+        hands the f32 head to XLA so the fused program frees it on exit
+        (~1x head bytes transient instead of the eager chain's ~3x; a
+        D=16384 fit crashed the 16 GB chip without this)."""
         if self.head.dtype == jnp.int8:
             return self
-        h = self.head.astype(jnp.float32)
-        scale = jnp.max(jnp.abs(h), axis=0) / 127.0
-        scale = jnp.where(scale == 0.0, 1.0, scale)
-        q = jnp.clip(jnp.round(h / scale), -127, 127).astype(jnp.int8)
+        fn = _quantize_head_donated if donate else _quantize_head
+        q, scale = fn(self.head)
         return HybridCSR(
             q, self.tail, self.n_rows, self.n_cols,
             blk_tail=self.blk_tail, head_scale=scale,
@@ -440,12 +466,17 @@ class HybridCSR:
         sd = t_sd.at[:d].set(h_sd)
         return mean, sd
 
-    def standardize(self, mean: jnp.ndarray, sd: jnp.ndarray):
+    def standardize(self, mean: jnp.ndarray, sd: jnp.ndarray, donate: bool = False):
         """Head: full center+scale (it is dense anyway).  Tail: scale-only;
-        the solver carries the tail centering correction (zeros on head)."""
+        the solver carries the tail centering correction (zeros on head).
+        `donate=True` (callers that own the head buffer, e.g. fit() on a
+        scipy input) lets XLA alias the head in place — the standardized
+        head has the same shape/dtype, so the multi-GB f32 buffer is never
+        duplicated."""
         assert self.head.dtype != jnp.int8, "standardize before quantize_head"
         d = self.n_head
-        head = ((self.head.astype(jnp.float64) - mean[:d]) / sd[:d]).astype(self.head.dtype)
+        fn = _std_head_donated if donate else _std_head
+        head = fn(self.head, mean[:d], sd[:d])
         tail = self.tail.scale_columns(sd)
         xc = (mean / sd).at[:d].set(0.0)
         return HybridCSR(head, tail, self.n_rows, self.n_cols), xc
