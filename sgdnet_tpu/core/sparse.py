@@ -96,7 +96,11 @@ class PaddedCSR:
         )
 
     def total_nnz(self) -> int:
-        return int(np.asarray(self.nnz).sum())
+        if isinstance(self.nnz, np.ndarray):
+            return int(self.nnz.sum())
+        # reduce on device: np.asarray(self.nnz) would pull the whole (n,)
+        # vector through the relay's pathologically slow device->host path
+        return int(jnp.sum(self.nnz))
 
     def column_stats(self, weights=None):
         """Sparse-aware per-column (mean, population SD) counting implicit
@@ -493,7 +497,13 @@ class HybridCSR:
         )
 
     def total_nnz(self) -> int:
-        head_nnz = int(np.count_nonzero(np.asarray(self.head)))
+        if isinstance(self.head, np.ndarray):
+            head_nnz = int(np.count_nonzero(self.head))
+        else:
+            # count on device and read back ONE scalar: np.asarray(head)
+            # pulls the multi-GB head through the relay's ~MB/s
+            # device->host path (minutes of wall per fit() stats line)
+            head_nnz = int(jnp.count_nonzero(self.head))
         return head_nnz + self.tail.total_nnz()
 
     def _head_f(self, dtype=jnp.float64) -> jnp.ndarray:
