@@ -253,8 +253,10 @@ def fit(
     if maxit <= 0:
         raise ValueError("maximum number of iterations cannot be negative or zero.")
 
-    # int8 head mode: build the head in f32 and quantize LAST (after
-    # standardization / row shuffle) — centering an int8 head would break it
+    # int8 head mode: scipy inputs standardize+quantize HOST-SIDE at
+    # ingestion (below) so only int8 crosses to the device; prebuilt f32
+    # hybrids instead standardize on device and quantize after (quantizing
+    # before centering would break the int8 representation)
     if isinstance(hybrid_head_dtype, str):
         hybrid_head_dtype = getattr(jnp, hybrid_head_dtype)
     _hybrid_int8 = hybrid_head_dtype is not None and jnp.dtype(hybrid_head_dtype) == jnp.int8
@@ -326,15 +328,72 @@ def fit(
                 hybrid_coverage = 1.0  # the planner's D governs the split
         except ImportError:
             pass
-    x, is_sparse, col_perm = _as_design_matrix(
-        x,
-        dtype,
-        hybrid=hybrid,
-        hybrid_coverage=hybrid_coverage,
-        hybrid_max_head=hybrid_max_head,
-        hybrid_memory_budget=hybrid_memory_budget,
-        hybrid_head_dtype=None if _hybrid_int8 else hybrid_head_dtype,
-    )
+    # ---- int8 hybrid ingestion, entirely HOST-SIDE (round 4, VERDICT r3
+    # #2): standardization is fused into the host quantization
+    # (split_columns std_stats), so only int8 bytes ever reach the device —
+    # no f32 head transient.  The old order (build f32 head on device,
+    # standardize, quantize) peaked at ~1x f32 head bytes even with donation
+    # and kept the 16 GB chip from fitting D=32768 (3.3 GB int8 vs 13 GB
+    # f32).  Column stats, row norms, and the NaN check run in numpy;
+    # lambda_max / power iteration run on the device int8 ops (identical to
+    # what the solver itself streams).
+    _pre_std = None  # (mean, sd) in ORIGINAL column order when host-standardized
+    _pre_row_sq = None  # host-computed per-row squared norms of the solver design
+    _scipy_x = None
+    if _hybrid_int8 and hybrid is not False:
+        try:
+            import scipy.sparse as _sp
+
+            if _sp.issparse(x) and (hybrid or x.shape[1] > 512):
+                _scipy_x = x.tocsr()
+        except ImportError:
+            pass
+    if _scipy_x is not None:
+        from sgdnet_tpu.core.sparse import scipy_column_stats, scipy_row_sq_norms
+
+        if np.isnan(_scipy_x.data).any():
+            raise ValueError("NA values are not allowed.")
+        _w_host = None if sample_weight is None else np.asarray(sample_weight, np.float64)
+        _split_kw = dict(
+            coverage=hybrid_coverage, max_head=hybrid_max_head,
+            memory_budget=hybrid_memory_budget, head_dtype=jnp.int8,
+            dtype=dtype, as_host=True,
+        )
+        if standardize:
+            _m_o, _s_o = scipy_column_stats(_scipy_x, _w_host)
+            _pre_row_sq = scipy_row_sq_norms(_scipy_x, _m_o, _s_o)
+            _xh, col_perm = HybridCSR.split_columns(_scipy_x, std_stats=(_m_o, _s_o), **_split_kw)
+            _pre_std = (_m_o, _s_o)
+        else:
+            _pre_row_sq = scipy_row_sq_norms(_scipy_x)
+            _xh, col_perm = HybridCSR.split_columns(_scipy_x, **_split_kw)
+        # upload head + tail; KEEP the tail host-side too — the BlockCOO
+        # packing below needs numpy, and reading a device tail back through
+        # the relay's ~0.2 MB/s device->host path costs minutes per fit
+        _host_tail = _xh.tail  # numpy container
+        x = HybridCSR(
+            jnp.asarray(_xh.head),
+            PaddedCSR(
+                jnp.asarray(_host_tail.indices), jnp.asarray(_host_tail.values),
+                jnp.asarray(_host_tail.nnz), _xh.n_rows, _xh.n_cols,
+            ),
+            _xh.n_rows, _xh.n_cols,
+            head_scale=None if _xh.head_scale is None else jnp.asarray(_xh.head_scale),
+        )
+        _xh = None
+        is_sparse = True
+        _scipy_x = None  # free the host CSR
+    else:
+        _host_tail = None
+        x, is_sparse, col_perm = _as_design_matrix(
+            x,
+            dtype,
+            hybrid=hybrid,
+            hybrid_coverage=hybrid_coverage,
+            hybrid_max_head=hybrid_max_head,
+            hybrid_memory_budget=hybrid_memory_budget,
+            hybrid_head_dtype=None if _hybrid_int8 else hybrid_head_dtype,
+        )
     n_samples, n_features = x.shape
     if n_samples == 0:
         raise ValueError("the predictor matrix (x) is empty.")
@@ -490,7 +549,18 @@ def fit(
     # weights it reduces to the reference's unweighted stats exactly)
     w_stats = None if sample_weight is None else jnp.asarray(weights_np)
     if standardize:
-        if isinstance(x, HybridCSR):
+        if _pre_std is not None:
+            # host-ingestion path: x is ALREADY standardized (head fully
+            # centered+scaled inside the int8 quantization, tail scale-only)
+            # — materialize the stats in internal (permuted) column order
+            # and the tail centering correction (zero on head columns)
+            _m_o, _s_o = _pre_std
+            x_center = jnp.asarray(_m_o[col_perm])
+            x_scale = jnp.asarray(_s_o[col_perm])
+            xc_np = _m_o[col_perm] / _s_o[col_perm]
+            xc_np[: x.n_head] = 0.0
+            xc = jnp.asarray(xc_np, dtype)
+        elif isinstance(x, HybridCSR):
             x_center, x_scale = x.column_stats(w_stats)
             # donate the head iff fit built it (scipy ingestion): XLA then
             # aliases the multi-GB f32 buffer in place instead of copying
@@ -585,7 +655,11 @@ def fit(
 
     # ---- step sizes (reference src/utils.h:31-51 + minibatch extension) ----
     active = (weights > 0).astype(jnp.float64)
-    if isinstance(x, HybridCSR):
+    if _pre_row_sq is not None:
+        # host-ingestion path: exact standardized row norms from numpy (the
+        # device equivalent would dequantize the whole int8 head)
+        per_row = jnp.asarray(_pre_row_sq)
+    elif isinstance(x, HybridCSR):
         per_row = x.row_squared_norms(xc)
     elif is_sparse:
         # squared norms of (scaled, centered) rows without densifying
@@ -665,7 +739,8 @@ def fit(
         # Shuffle rows once so blocks are random samples even for ordered
         # input.  Seed-deterministic, so warm_state from a fit with the same
         # seed+sampling stays row-aligned.
-        rperm = jnp.asarray(np.random.default_rng(seed + 0x5EED).permutation(n_samples))
+        rperm_np = np.random.default_rng(seed + 0x5EED).permutation(n_samples)
+        rperm = jnp.asarray(rperm_np)
         if isinstance(x, HybridCSR):
             tail = PaddedCSR(
                 x.tail.indices[rperm], x.tail.values[rperm], x.tail.nnz[rperm],
@@ -674,6 +749,11 @@ def fit(
             x = HybridCSR(
                 x.head[rperm], tail, x.n_rows, x.n_cols, head_scale=x.head_scale
             )
+            if _host_tail is not None:  # keep the host mirror row-aligned
+                _host_tail = PaddedCSR(
+                    _host_tail.indices[rperm_np], _host_tail.values[rperm_np],
+                    _host_tail.nnz[rperm_np], _host_tail.n_rows, _host_tail.n_cols,
+                )
         elif isinstance(x, PaddedCSR):
             x = PaddedCSR(x.indices[rperm], x.values[rperm], x.nnz[rperm], x.n_rows, x.n_cols)
         else:
@@ -688,6 +768,14 @@ def fit(
         extra = n_pad - n_samples
         if is_sparse:
             x = x.pad_rows(n_pad)
+            if _host_tail is not None:
+                _L = _host_tail.row_width
+                _host_tail = PaddedCSR(
+                    np.concatenate([_host_tail.indices, np.zeros((extra, _L), np.int32)]),
+                    np.concatenate([_host_tail.values, np.zeros((extra, _L), _host_tail.values.dtype)]),
+                    np.concatenate([_host_tail.nnz, np.zeros((extra,), np.int32)]),
+                    n_pad, _host_tail.n_cols,
+                )
         else:
             x = jnp.concatenate([x, jnp.zeros((extra, n_features), x.dtype)])
         y_proc = jnp.concatenate([y_proc, jnp.zeros((extra, y_proc.shape[1]), y_proc.dtype)])
@@ -707,7 +795,12 @@ def fit(
 
         x = HybridCSR(
             x.head, x.tail, x.n_rows, x.n_cols,
-            blk_tail=BlockCOO.from_padded(x.tail, batch_size),
+            # pack from the host tail mirror when ingestion kept one:
+            # from_padded on device arrays reads the tail back through the
+            # relay's ~0.2 MB/s device->host path (minutes at bench scale)
+            blk_tail=BlockCOO.from_padded(
+                _host_tail if _host_tail is not None else x.tail, batch_size
+            ),
             head_scale=x.head_scale,
         )
 
@@ -892,6 +985,16 @@ def fit(
         # screening effectiveness: mean active-set size vs p — the fraction
         # of per-epoch coefficient work the strong rule actually removed
         _stats["screening"] = scr_stats
+        # WORK-based throughput (round 4): under screening the epochs ran on
+        # dense active-set subproblems a fraction of the full width, so the
+        # full-design figure would overstate work done.  `nnz`/`nnz_per_s`
+        # count the elements the solver actually streamed
+        # (screening.work_elems); the full-matrix figure stays available as
+        # `coverage_nnz`, clearly labeled coverage, not work.
+        _work = scr_stats.get("work_elems", _stats["nnz"])
+        _stats["coverage_nnz"] = _stats["nnz"]
+        _stats["nnz"] = _work
+        _stats["nnz_per_s"] = _work / max(_wall, 1e-9)
     b_path = np.asarray(results.intercept, dtype=np.float64)  # (nl, k)
     x_scale_np = np.asarray(x_scale)
     x_center_np = np.asarray(x_center)

@@ -32,6 +32,9 @@ def _xty(x, y: jnp.ndarray) -> jnp.ndarray:
     """x.T @ y for dense, PaddedCSR, or HybridCSR x; returns (p, m)."""
     if isinstance(x, (PaddedCSR, HybridCSR)):
         dtype = x.values.dtype if isinstance(x, PaddedCSR) else x.head.dtype
+        # int8/bf16 heads must not truncate y: matvec_T handles the head's
+        # reduced-precision stream internally and accumulates in f32
+        dtype = jnp.promote_types(dtype, jnp.float32)
         return x.matvec_T(y.astype(dtype)).astype(jnp.float64)
     return x.T.astype(jnp.float64) @ y.astype(jnp.float64)
 

@@ -200,6 +200,7 @@ def screened_path(
     iters_out = np.zeros(nl, dtype=np.int32)
     codes_out = np.zeros(nl, dtype=np.int32)
     total_epochs = 0
+    work_elems = 0  # design elements the solver actually streamed (see stats)
     active_hist = []
     kkt_rounds_hist = []
 
@@ -299,6 +300,11 @@ def screened_path(
                 box=box_sub,
             )
             total_epochs += int(n_it)
+            # the solver ran its epochs on the DENSE (n_pad, K) active-set
+            # subset, not the full design — count the elements it actually
+            # streamed (including bucket padding), so throughput reported
+            # from this counter measures work done, not coverage
+            work_elems += int(n_it) * n_pad * K
             # scatter each group solution back to full width
             w_grp_sub = np.asarray(results.w, dtype=np.float64)  # (G, k, K)
             w_grp = np.zeros((G, k, p))
@@ -350,6 +356,10 @@ def screened_path(
         "active_per_group": active_hist,
         "mean_active": float(np.mean(active_hist)) if active_hist else 0.0,
         "p": p,
+        # epochs x n_pad x K(bucket) summed over fit_path calls: the design
+        # elements the solver streamed on its dense active-set subproblems —
+        # the WORK basis for a screened fit's nnz_per_s (api/fit.py)
+        "work_elems": work_elems,
         # every returned solution satisfied the full-width KKT conditions
         # (the expansion loop above runs until clean — exact by construction)
         "kkt_clean": True,

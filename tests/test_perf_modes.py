@@ -161,3 +161,78 @@ def test_int8_quantize_head_roundtrip():
         np.asarray(q.matmul_dense(jnp.asarray(wt, jnp.float32))), want2,
         atol=2e-2 * np.abs(want2).max(),
     )
+
+
+def test_int8_host_std_quant_matches_device_order():
+    """The host-side fused standardize+quantize ingestion (round 4:
+    split_columns(std_stats=...) — only int8 bytes ever reach the device)
+    must produce element-for-element the same layout as the device order
+    (build f32 head -> standardize -> quantize_head): same int8 codes (to
+    one rounding LSB), same scales, same scale-only tail."""
+    import jax.numpy as jnp
+
+    from sgdnet_tpu.core.sparse import scipy_column_stats
+
+    rng = np.random.default_rng(9)
+    n, p = 120, 48
+    x = rng.normal(size=(n, p)) * (rng.random((n, p)) < 0.3)
+    x[:, 0] = rng.normal(size=n)  # one fully-dense column (no implicit zeros)
+    xs = sp.csr_matrix(x)
+    mean, sd = scipy_column_stats(xs)
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-12)
+
+    kw = dict(coverage=0.8, max_head=16)
+    host, perm_h = HybridCSR.split_columns(
+        xs, head_dtype=jnp.int8, std_stats=(mean, sd), **kw
+    )
+    f32, perm_d = HybridCSR.split_columns(xs, dtype=jnp.float32, **kw)
+    np.testing.assert_array_equal(perm_h, perm_d)
+    m_dev = jnp.asarray(mean[perm_d])
+    s_dev = jnp.asarray(sd[perm_d])
+    dev, xc = f32.standardize(m_dev, s_dev)
+    dev = dev.quantize_head()
+
+    np.testing.assert_allclose(
+        np.asarray(host.head_scale), np.asarray(dev.head_scale), rtol=1e-5
+    )
+    # int8 codes agree to <= 1 LSB (f64 host vs f32 device rounding ties)
+    dq = np.abs(
+        np.asarray(host.head, np.int32) - np.asarray(dev.head, np.int32)
+    )
+    assert dq.max() <= 1
+    assert (dq > 0).mean() < 0.01  # ties are rare
+    np.testing.assert_allclose(
+        np.asarray(host.tail.values), np.asarray(dev.tail.values), rtol=1e-5
+    )
+    # the host path's tail centering correction matches standardize()'s xc
+    xc_host = (mean[perm_h] / sd[perm_h]).copy()
+    xc_host[: host.n_head] = 0.0
+    np.testing.assert_allclose(xc_host, np.asarray(xc), rtol=1e-5)
+
+
+def test_int8_host_vs_device_path_fit_agrees():
+    """fit() through the host int8 ingestion (scipy input) agrees with the
+    device order (prebuilt f32 hybrid standardized+quantized on device) at
+    the solver contract, on an identical lambda grid."""
+    xs, y = _sparse_problem(n=400, p=64, family="binomial", seed=29)
+    kw = dict(
+        family="binomial", alpha=0.5, batch_size=32, seed=7, dtype=np.float32,
+        hybrid_head_dtype="int8",
+    )
+    host = st.fit(xs, y, nlambda=6, hybrid=True, hybrid_max_head=32,
+                  hybrid_coverage=0.8, **kw)
+    assert host.stats["layout"]["kind"] == "hybrid"
+    assert host.stats["layout"]["head_dtype"] == "int8"
+    import jax.numpy as jnp
+
+    xh, perm = HybridCSR.split_columns(xs, coverage=0.8, max_head=32, dtype=jnp.float32)
+    dev = st.fit(xh, y, lambda_path=host.lambda_, **kw)
+    beta_dev = np.empty_like(dev.beta)
+    beta_dev[:, :, perm] = dev.beta  # prebuilt layouts return permuted columns
+    scale = max(np.abs(host.beta).max(), 1.0)
+    # the two paths round from f64 vs f32 intermediates, so ~1% of int8
+    # codes differ by one LSB (see the layout-level test): they solve two
+    # quantized problems one quantization tie apart.  The agreement bound
+    # is therefore between solver precision and the int8-vs-f32 contract
+    # (4e-2 in test_int8_head_close_to_f32); measured max ~6e-3 relative.
+    np.testing.assert_allclose(host.beta, beta_dev, atol=1e-2 * scale)

@@ -173,3 +173,30 @@ def test_screened_penalty_factors_and_box():
     np.testing.assert_allclose(scr.beta, full.beta, atol=2e-3 * scale)
     assert np.all(scr.beta[:, :, 7] == 0.0)
     assert np.abs(scr.beta).max() <= 1.2 + 1e-9
+
+
+def test_screened_throughput_counts_work_not_coverage():
+    """A screened fit's nnz/nnz_per_s measure the elements the solver
+    actually streamed on its dense active-set subproblems (VERDICT r3 #4):
+    stats pin work_elems = sum over fit_path calls of epochs * n_pad * K,
+    with the full-design figure relabeled coverage_nnz."""
+    rng = np.random.default_rng(0)
+    n, p = 200, 400
+    x = rng.normal(size=(n, p))
+    beta = np.zeros(p)
+    beta[:8] = rng.normal(size=8) * 2
+    y = x @ beta + 0.5 * rng.normal(size=n)
+
+    scr = st.fit(x, y, nlambda=12, thresh=1e-6, maxit=2000, dtype=np.float64, screen=True)
+    s = scr.stats
+    work = s["screening"]["work_elems"]
+    assert work > 0
+    # the reported throughput basis IS the work counter
+    assert s["nnz"] == work
+    assert s["nnz_per_s"] == pytest.approx(work / s["wall_time_s"], rel=1e-6)
+    # coverage (full design x total epochs) is kept, clearly separate; on a
+    # problem where screening engages, work is strictly below coverage
+    n_pad = -(-n // 32) * 32  # fit() pads rows to a batch_size multiple
+    assert s["coverage_nnz"] == n_pad * p * s["epochs"]
+    assert s["screening"]["mean_active"] < p
+    assert work < s["coverage_nnz"]

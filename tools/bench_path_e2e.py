@@ -1,16 +1,24 @@
-"""End-to-end large-scale path headline (VERDICT r2 #2).
+"""End-to-end large-scale path headline (VERDICT r2 #2 / r3 #1-#2).
 
 One user-facing number: wall-clock for a full 50-lambda lasso path on the
-bench workload (n=100k, p=47k sparse binomial, 7.6M nnz) with the round-2
-performance stack engaged — int8 hybrid head, block sampling, refresh/8 —
-with and without strong-rule screening.  Reports wall time, epochs,
-effective nnz/s, and screened-vs-full coefficient agreement.
+bench workload (n=100k, p=47k sparse binomial, 7.6M nnz) through the PUBLIC
+fit() API with the performance stack engaged — int8 hybrid head, block
+sampling, refresh/8 — at the headline head widths, with and without
+strong-rule screening.  Reports wall time, epochs, effective end-to-end
+nnz/s, solver-only nnz/s, and screened-vs-full coefficient agreement.
+
+Round 4: fit() ingestion now standardizes+quantizes HOST-SIDE for scipy
+int8 inputs (core/sparse.py split_columns std_stats), so only int8 bytes
+reach the chip and the f32 head transient that crashed a D=16384 fit in
+round 3 is gone — D=16384 and the epoch-bench winner D=32768 both run
+through the public API (measured tables in RESULTS.md).
 
 The reference's analogous loop is the sgdnet path driver
 (/root/reference/src/sgdnet.cpp:217-273) running sequential C++ SAGA.
 
-Usage: python tools/bench_path_e2e.py [quick]   (from /root/repo, TPU)
-`quick` drops to n=20k for a fast smoke.
+Usage: python tools/bench_path_e2e.py [quick] [D ...]   (from /root/repo, TPU)
+`quick` drops to n=20k for a fast smoke; optional D values override the
+default head-width sweep (16384, 32768).
 """
 
 import sys
@@ -22,10 +30,56 @@ sys.path.insert(0, "/root/repo")
 from bench import _to_scipy, log, make_sparse_binomial  # noqa: E402
 
 
-def main(quick=False):
+def run_one(xs, yv, nnz, D, screen_after=True):
+    import sgdnet_tpu as st
+
+    kw = dict(
+        family="binomial", alpha=1.0, nlambda=50, thresh=1e-3, batch_size=8192,
+        sampling="block", hybrid_head_dtype="int8", hybrid_max_head=D,
+        hybrid_coverage=0.995, hybrid_memory_budget=4e9,
+        g_sum_refresh_every=8, seed=0,
+    )
+
+    t0 = time.perf_counter()
+    full = st.fit(xs, yv, **kw)
+    _ = float(np.asarray(full.beta[-1]).sum())
+    t_full = time.perf_counter() - t0
+    ep_full = full.stats["epochs"]
+    lay = full.stats["layout"]
+    log(f"[D={D}] layout: {lay}")
+    log(f"[D={D}] FULL path: {t_full:.1f}s wall (incl. build+compile), "
+        f"{ep_full} epochs, "
+        f"effective {nnz * ep_full / t_full:.3e} nnz/s end-to-end, "
+        f"solver-only {full.stats['nnz_per_s']:.3e} nnz/s "
+        f"(in-path wall {full.stats['wall_time_s']:.1f}s)")
+    out = dict(D=D, lay=lay, t_full=t_full, ep_full=ep_full,
+               solver_nnz_s=full.stats["nnz_per_s"],
+               e2e_nnz_s=nnz * ep_full / t_full)
+
+    if screen_after:
+        t0 = time.perf_counter()
+        scr = st.fit(xs, yv, screen=True, lambda_path=full.lambda_, **kw)
+        _ = float(np.asarray(scr.beta[-1]).sum())
+        t_scr = time.perf_counter() - t0
+        ep_scr = scr.stats["epochs"]
+        sstats = dict(scr.stats.get("screening", {}))
+        sstats.pop("active_per_group", None)
+        log(f"[D={D}] SCREENED path: {t_scr:.1f}s wall, {ep_scr} epochs, "
+            f"work-based {scr.stats['nnz_per_s']:.3e} elem/s, stats {sstats}")
+        scale = max(np.abs(full.beta).max(), 1.0)
+        diff = np.abs(scr.beta - full.beta).max()
+        log(f"[D={D}] screened vs full: max|diff| {diff:.3e} "
+            f"({diff/scale:.2e} relative; contract 2e-3) -> "
+            f"{t_full/t_scr:.2f}x wall, "
+            f"agreement {'PASS' if diff <= 2e-3*scale else 'FAIL'}")
+        out.update(t_scr=t_scr, ep_scr=ep_scr, scr_diff=float(diff / scale))
+    return out
+
+
+def main(quick=False, widths=(16384, 32768)):
     import jax
 
-    import sgdnet_tpu as st
+    import sgdnet_tpu  # noqa: F401  (import before timing)
 
     log(f"backend: {jax.default_backend()}")
     n = 20_000 if quick else 100_000
@@ -36,45 +90,18 @@ def main(quick=False):
     nnz = xs.nnz
     log(f"workload: {n}x{p}, {nnz/1e6:.1f}M nnz")
 
-    # D=8192 (not the epoch-bench winner's 32768): fit() standardizes and
-    # row-shuffles the f32 head ON DEVICE before int8 quantization, so the
-    # transient peak is ~2 f32 head copies + tail + path outputs — ~8 GB at
-    # D=8192.  D=16384 (~14.5 GB peak) crashed the 16 GB chip's runtime
-    # mid-path; bench.py's epoch bench quantizes host-side and skips
-    # standardization, which is why IT can go to 32768.  Closing this gap
-    # needs host-side standardize+quantize assembly in fit() ingestion —
-    # noted as future work in docs/design.md.
-    kw = dict(
-        family="binomial", alpha=1.0, nlambda=50, thresh=1e-3, batch_size=8192,
-        sampling="block", hybrid_head_dtype="int8", hybrid_max_head=8192,
-        hybrid_coverage=0.995, g_sum_refresh_every=8, seed=0,
-    )
+    results = []
+    for i, D in enumerate(widths):
+        # screen once, at the first (cheapest) width — the screened path's
+        # active sets are narrow, so its cost is width-independent
+        results.append(run_one(xs, yv, nnz, D, screen_after=(i == 0)))
 
-    t0 = time.perf_counter()
-    full = st.fit(xs, yv, **kw)
-    _ = float(np.asarray(full.beta[-1]).sum())
-    t_full = time.perf_counter() - t0
-    ep_full = full.stats["epochs"]
-    log(f"FULL path: {t_full:.1f}s wall (incl. build+compile), {ep_full} epochs, "
-        f"effective {nnz * ep_full / t_full:.3e} nnz/s end-to-end, "
-        f"solver-only {full.stats['nnz_per_s']:.3e} nnz/s")
-
-    t0 = time.perf_counter()
-    scr = st.fit(xs, yv, screen=True, lambda_path=full.lambda_, **kw)
-    _ = float(np.asarray(scr.beta[-1]).sum())
-    t_scr = time.perf_counter() - t0
-    ep_scr = scr.stats["epochs"]
-    sstats = scr.stats.get("screening", {})
-    log(f"SCREENED path: {t_scr:.1f}s wall, {ep_scr} epochs, "
-        f"stats {sstats}")
-
-    scale = max(np.abs(full.beta).max(), 1.0)
-    diff = np.abs(scr.beta - full.beta).max()
-    log(f"screened vs full: max|diff| {diff:.3e} ({diff/scale:.2e} relative; "
-        f"contract 2e-3)")
-    log(f"HEADLINE: full {t_full:.1f}s / screened {t_scr:.1f}s -> "
-        f"{t_full/t_scr:.2f}x; agreement {'PASS' if diff <= 2e-3*scale else 'FAIL'}")
+    log("--- summary ---")
+    for r in results:
+        log(r)
 
 
 if __name__ == "__main__":
-    main(quick="quick" in sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "quick"]
+    widths = tuple(int(a) for a in args) or (16384, 32768)
+    main(quick="quick" in sys.argv[1:], widths=widths)
