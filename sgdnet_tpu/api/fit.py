@@ -117,14 +117,18 @@ def _as_design_matrix(
 
     scipy input with many columns is converted to the dense-head/sparse-tail
     HybridCSR layout (see core/sparse.py) with a column permutation; returns
-    (x, is_sparse, col_perm) where col_perm maps new -> original columns.
+    (x, is_sparse, col_perm, nan_checked) where col_perm maps new -> original
+    columns and nan_checked marks inputs already NaN-validated host-side
+    (a device-side isnan sync costs ~60 s through the relay at bench scale).
     """
     if isinstance(x, (PaddedCSR, HybridCSR)):
-        return x, True, None
+        return x, True, None, False
     try:
         import scipy.sparse as sp
 
         if sp.issparse(x):
+            if np.isnan(x.tocsr().data).any():
+                raise ValueError("NA values are not allowed.")
             p = x.shape[1]
             if hybrid is None:
                 hybrid = p > 512
@@ -137,14 +141,17 @@ def _as_design_matrix(
                     memory_budget=hybrid_memory_budget,
                     head_dtype=hybrid_head_dtype,
                 )
-                return xh, True, perm
-            return PaddedCSR.from_scipy(x, dtype=dtype), True, None
+                return xh, True, perm, True
+            return PaddedCSR.from_scipy(x, dtype=dtype), True, None, True
     except ImportError:
         pass
-    x = jnp.asarray(np.asarray(x), dtype=dtype)
-    if x.ndim != 2:
+    x_np = np.asarray(x)
+    if x_np.ndim != 2:
         raise ValueError("x must be a 2-D matrix")
-    return x, False, None
+    if x_np.dtype != object and np.issubdtype(x_np.dtype, np.floating) and np.isnan(x_np).any():
+        raise ValueError("NA values are not allowed.")
+    x = jnp.asarray(x_np, dtype=dtype)
+    return x, False, None, True
 
 
 def _weighted_column_stats(x: jnp.ndarray, weights: jnp.ndarray):
@@ -382,10 +389,11 @@ def fit(
         )
         _xh = None
         is_sparse = True
+        _nan_checked = True
         _scipy_x = None  # free the host CSR
     else:
         _host_tail = None
-        x, is_sparse, col_perm = _as_design_matrix(
+        x, is_sparse, col_perm, _nan_checked = _as_design_matrix(
             x,
             dtype,
             hybrid=hybrid,
@@ -398,13 +406,18 @@ def fit(
     if n_samples == 0:
         raise ValueError("the predictor matrix (x) is empty.")
 
-    x_vals = x.values if isinstance(x, PaddedCSR) else x.head if isinstance(x, HybridCSR) else x
-    if x_vals.dtype == jnp.int8:  # prebuilt quantized head cannot hold NaN
-        x_vals = x_vals[:0].astype(jnp.float32)
-    if bool(jnp.isnan(x_vals).any()) or (
-        isinstance(x, HybridCSR) and bool(jnp.isnan(x.tail.values).any())
-    ):
-        raise ValueError("NA values are not allowed.")
+    # device-side NaN check ONLY for prebuilt device layouts — every other
+    # ingestion path validated host-side.  (These eager bool() syncs
+    # measured ~60 s EACH through the relay on a bench-scale fit — never
+    # add device round-trips to this prologue.)
+    if _host_tail is None and not _nan_checked:
+        x_vals = x.values if isinstance(x, PaddedCSR) else x.head if isinstance(x, HybridCSR) else x
+        if x_vals.dtype == jnp.int8:  # prebuilt quantized head cannot hold NaN
+            x_vals = x_vals[:0].astype(jnp.float32)
+        if bool(jnp.isnan(x_vals).any()) or (
+            isinstance(x, HybridCSR) and bool(jnp.isnan(x.tail.values).any())
+        ):
+            raise ValueError("NA values are not allowed.")
 
     y_arr = np.asarray(y)
     if y_arr.shape[0] != n_samples:
@@ -655,10 +668,12 @@ def fit(
 
     # ---- step sizes (reference src/utils.h:31-51 + minibatch extension) ----
     active = (weights > 0).astype(jnp.float64)
+    per_row = None
     if _pre_row_sq is not None:
-        # host-ingestion path: exact standardized row norms from numpy (the
-        # device equivalent would dequantize the whole int8 head)
-        per_row = jnp.asarray(_pre_row_sq)
+        # host-ingestion path: exact standardized row norms straight from
+        # numpy — no device round-trip (and the device equivalent would
+        # dequantize the whole int8 head)
+        max_sq = float(np.max(_pre_row_sq * (weights_np > 0)))
     elif isinstance(x, HybridCSR):
         per_row = x.row_squared_norms(xc)
     elif is_sparse:
@@ -671,7 +686,8 @@ def fit(
             per_row = per_row - 2.0 * cross + jnp.sum(c**2)
     else:
         per_row = jnp.sum(x.astype(jnp.float64) ** 2, axis=1)
-    max_sq = float(jnp.max(per_row * active))
+    if per_row is not None:
+        max_sq = float(jnp.max(per_row * active))
 
     if batch_size > 1:
         top_sq = float(power_iteration_sq_norm(x, xc)) / w_total

@@ -22,7 +22,11 @@ import time
 
 import numpy as np
 
-from sgdnet_tpu.benchmarks.convergence import _objective_loss, convergence_curve
+from sgdnet_tpu.benchmarks.convergence import (  # noqa: F401  (curve kept for tools)
+    _objective_loss,
+    convergence_curve,
+    convergence_curve_trace,
+)
 
 
 def _sklearn_fit(x, y, family: str, alpha: float, lam: float, max_iter: int, tol: float):
@@ -173,7 +177,10 @@ def run_relative(datasets=None, alphas=(1.0, 0.0), **fit_kwargs):
         xs = (xs - xs.mean(axis=0)) / np.where(sd == 0.0, 1.0, sd)
         for alpha in alphas:
             pen = {1.0: "lasso", 0.0: "ridge"}.get(alpha, f"enet{alpha}")
-            ours = convergence_curve(xs, y, family=family, alpha=alpha, **fit_kwargs)
+            # one-dispatch trace curves (round 4): the per-epoch debug loss
+            # trace + a 2-point time model replace the refit-per-tolerance
+            # sweep that paid the ~25 ms relay sync floor at every point
+            ours = convergence_curve_trace(xs, y, family=family, alpha=alpha, **fit_kwargs)
             ref = sklearn_curve(xs, y, family=family, alpha=alpha)
             out[f"{name}/{pen}"] = {"sgdnet_tpu": ours, "sklearn": ref}
     return out

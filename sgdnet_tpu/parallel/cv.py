@@ -362,7 +362,7 @@ def parallel_fold_scores(
                 hybrid_coverage = 1.0
         except ImportError:
             pass
-    x, is_sparse, col_perm = _as_design_matrix(
+    x, is_sparse, col_perm, _ = _as_design_matrix(
         x, dtype, hybrid=hybrid, hybrid_coverage=hybrid_coverage,
         hybrid_max_head=hybrid_max_head, hybrid_memory_budget=hybrid_memory_budget,
         hybrid_head_dtype=None if quantize_int8 else hybrid_head_dtype,

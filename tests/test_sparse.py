@@ -113,7 +113,7 @@ def test_hybrid_equals_dense():
     xs = sp.csr_matrix(x)
     f_hybrid = st.fit(xs, y, lambda_path=f_dense.lambda_, **common)
     from sgdnet_tpu.api.fit import _as_design_matrix
-    xh, is_sp, perm = _as_design_matrix(xs, np.float64)
+    xh, is_sp, perm, _ = _as_design_matrix(xs, np.float64)
     assert is_sp and perm is not None
     from sgdnet_tpu.core.sparse import HybridCSR
     assert isinstance(xh, HybridCSR) and xh.n_head >= 128

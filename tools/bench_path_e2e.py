@@ -82,6 +82,14 @@ def main(quick=False, widths=(16384, 32768)):
     import sgdnet_tpu  # noqa: F401  (import before timing)
 
     log(f"backend: {jax.default_backend()}")
+    # warm the device link once: the relay charges a large one-time
+    # first-use cost per process (measured ~100-115 s on 2026-08-20 —
+    # tools snippet in RESULTS.md); that is process startup, not fit() work
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    _ = float(jnp.sum(jax.device_put(np.ones(8, np.float32))))
+    log(f"device warmup: {time.perf_counter() - t0:.1f}s (excluded from timings)")
     n = 20_000 if quick else 100_000
     p, nnz_row = 47_000, 76
     data, y = make_sparse_binomial(n=n, p=p, nnz_per_row=nnz_row, seed=3)

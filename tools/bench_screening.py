@@ -25,6 +25,11 @@ def main():
     import sgdnet_tpu as st
 
     log(f"backend: {jax.default_backend()}")
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()  # one-time relay first-use cost, not fit() work
+    _ = float(jnp.sum(jax.device_put(np.ones(8, np.float32))))
+    log(f"device warmup: {time.perf_counter() - t0:.1f}s (excluded)")
     n, p, nnz_row = 20_000, 47_000, 40
     data, y = make_sparse_binomial(n=n, p=p, nnz_per_row=nnz_row, seed=3)
     xs = _to_scipy(data)
