@@ -715,8 +715,10 @@ def fit(
     else:
         n_pad = ((n_samples + batch_size - 1) // batch_size) * batch_size
     # ---- whole-epoch Pallas kernel gate (solver/epoch_kernel.py): dense f32
-    # VMEM-resident problems with no offsets/pf/box run each epoch as ONE
-    # kernel — the small-problem latency path (~2.7x on in-path time).  The
+    # VMEM-resident problems run each epoch as ONE kernel — the
+    # small-problem latency path (~2.7x on in-path time).  Offsets and
+    # penalty factors are in the v2 kernel surface (each one extra VMEM
+    # operand); box limits still fall back to the XLA step path.  The
     # kernel needs contiguous block batches, so an eligible fit defaults to
     # block sampling; off-TPU it runs only on explicit opt-in (interpret
     # mode compiles fine but is for tests, not speed).
@@ -728,11 +730,11 @@ def fit(
         and not is_sparse
         and not debug
         and warm_state is None
-        and offs64 is None
-        and pf_dev is None
         and box is None
         and jnp.dtype(dtype) == jnp.float32
-        and _ek_supported(n_pad, n_features, n_classes, batch_size)
+        and _ek_supported(
+            n_pad, n_features, n_classes, batch_size, with_offs=offs64 is not None
+        )
         and (use_epoch_kernel is True or _backend == "tpu")
     )
     if sampling is None:

@@ -51,15 +51,20 @@ def _ceil_mult(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-def supported(n_pad: int, p: int, k: int, B: int, dtype=jnp.float32) -> bool:
+def supported(
+    n_pad: int, p: int, k: int, B: int, dtype=jnp.float32, with_offs: bool = False
+) -> bool:
     """Shapes/dtypes the whole-epoch kernel handles: f32, <=8 classes,
-    sublane-aligned batches, and everything resident in VMEM."""
+    sublane-aligned batches, and everything resident in VMEM.  `with_offs`
+    accounts for the extra (n_pad, KP) offsets operand (v2)."""
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if k > KP or B % 8 != 0 or B < 8 or n_pad % B != 0:
         return False
     P = _ceil_mult(max(p, 1), 128)
     resident = n_pad * P * 4 + 3 * n_pad * KP * 4 + 3 * KP * P * 4
+    if with_offs:
+        resident += n_pad * KP * 4
     return resident <= _VMEM_BUDGET
 
 
@@ -109,7 +114,8 @@ def _prox(penalty, w_half, threshold):
     raise ValueError(f"epoch kernel: unsupported penalty {name}")
 
 
-def _make_kernel(T, B, k, family, penalty, config, refresh: bool):
+def _make_kernel(T, B, k, family, penalty, config, refresh: bool,
+                 have_offs: bool = False, have_pf: bool = False):
     precision = (
         jax.lax.Precision.HIGHEST
         if config.matmul_precision == "highest"
@@ -117,8 +123,16 @@ def _make_kernel(T, B, k, family, penalty, config, refresh: bool):
     )
     decay = float(config.intercept_decay)  # python literal: folds at trace time
 
-    def kernel(starts_ref, x_ref, y_ref, wt_ref, sc_ref, w_in, iv_in, gm_in, gs_in,
-               w_out, iv_out, gm_out, gs_out):
+    def kernel(*refs):
+        # optional v2 operands (offsets / penalty factors) slot in between
+        # the fixed inputs and the aliased state refs
+        starts_ref, x_ref, y_ref, wt_ref, sc_ref = refs[:5]
+        i = 5
+        offs_ref = refs[i] if have_offs else None
+        i += int(have_offs)
+        pf_ref = refs[i] if have_pf else None
+        i += int(have_pf)
+        (w_in, iv_in, gm_in, gs_in, w_out, iv_out, gm_out, gs_out) = refs[i:]
         # state lives in the output refs (input-aliased on TPU)
         w_out[:] = w_in[:]
         iv_out[:] = iv_in[:]
@@ -142,6 +156,8 @@ def _make_kernel(T, B, k, family, penalty, config, refresh: bool):
                 xb, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             ) + iv_out[0:1, :]
+            if have_offs:  # fixed linear-predictor offsets (pad lanes 0)
+                lp = lp + offs_ref[pl.ds(start, B), :]
             # class-pad lanes masked to 0 so every pad row/col of the state
             # stays exactly 0 (binomial's sigmoid(0) = 0.5 would otherwise
             # leak into g_mem pads and the corr rows)
@@ -155,8 +171,16 @@ def _make_kernel(T, B, k, family, penalty, config, refresh: bool):
             )  # (KP, P)
             bw = jnp.maximum(jnp.sum(wtb), 1e-12)
             grad_est = corr / bw + gs_out[:]
-            w_half = w * (1.0 - gamma * l2) - gamma * grad_est
-            w_out[:] = _prox(penalty, w_half, gamma * l1)
+            if have_pf:
+                # per-feature penalty factors scale both the L2 decay and
+                # the prox threshold (saga._finish_step semantics); pad
+                # columns carry pf = 0 and their w stays exactly 0
+                pfv = pf_ref[0:1, :]  # (1, P)
+                w_half = w * (1.0 - gamma * l2 * pfv) - gamma * grad_est
+                w_out[:] = _prox(penalty, w_half, gamma * l1 * pfv)
+            else:
+                w_half = w * (1.0 - gamma * l2) - gamma * grad_est
+                w_out[:] = _prox(penalty, w_half, gamma * l1)
             gs_out[:] = gs_out[:] + corr / w_total
             if config.fit_intercept:
                 sum_gc = jnp.sum(gc, axis=0, keepdims=True)  # (1, KP)
@@ -207,10 +231,13 @@ def unpad_state(ps: _PadState, k: int, p: int):
     )
 
 
-def build(x, y, weights, w_total, family, penalty, config, interpret: bool):
+def build(x, y, weights, w_total, family, penalty, config, interpret: bool,
+          offs=None, pf=None):
     """Return `epoch_fn(state_pad, key, gamma, l1, l2, it) -> state_pad`
     running one whole SAGA epoch as a single pallas_call.  Inputs are padded
-    once at trace time (hoisted out of the epoch loop by jit)."""
+    once at trace time (hoisted out of the epoch loop by jit).  `offs`
+    ((n_pad, k) linear-predictor offsets) and `pf` ((p,) penalty factors)
+    are the v2 surface — each is one extra VMEM operand."""
     n_pad, p = x.shape
     k = family.n_classes
     B = config.batch_size
@@ -220,11 +247,25 @@ def build(x, y, weights, w_total, family, penalty, config, interpret: bool):
     x_pad = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, P - p)))
     y_pad = jnp.pad(y.astype(jnp.float32), ((0, 0), (0, KP - y.shape[1])))
     wt_pad = jnp.broadcast_to(weights.astype(jnp.float32)[:, None], (n_pad, 1))
+    have_offs = offs is not None
+    have_pf = pf is not None
+    extra_inputs = []
+    extra_specs = []
+    if have_offs:
+        offs_pad = jnp.pad(offs.astype(jnp.float32), ((0, 0), (0, KP - offs.shape[1])))
+        extra_inputs.append(offs_pad)
+        extra_specs.append((n_pad, KP))
+    if have_pf:
+        pf_pad = jnp.zeros((1, P), jnp.float32).at[0, :p].set(pf.astype(jnp.float32))
+        extra_inputs.append(pf_pad)
+        extra_specs.append((1, P))
 
     in_kernel_refresh = bool(config.g_sum_refresh and config.g_sum_refresh_every <= 1)
-    kernel = _make_kernel(T, B, k, family, penalty, config, refresh=in_kernel_refresh)
+    kernel = _make_kernel(T, B, k, family, penalty, config, refresh=in_kernel_refresh,
+                          have_offs=have_offs, have_pf=have_pf)
 
     full = lambda i, s: (0, 0)
+    n_extra = len(extra_inputs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -233,6 +274,7 @@ def build(x, y, weights, w_total, family, penalty, config, interpret: bool):
             pl.BlockSpec((n_pad, KP), full),
             pl.BlockSpec((n_pad, 1), full),
             pl.BlockSpec((1, 128), full),
+            *[pl.BlockSpec(s, full) for s in extra_specs],
             pl.BlockSpec((KP, P), full),
             pl.BlockSpec((2, KP), full),
             pl.BlockSpec((n_pad, KP), full),
@@ -254,8 +296,9 @@ def build(x, y, weights, w_total, family, penalty, config, interpret: bool):
             jax.ShapeDtypeStruct((n_pad, KP), jnp.float32),
             jax.ShapeDtypeStruct((KP, P), jnp.float32),
         ],
-        # operand index space includes the scalar-prefetch arg (index 0)
-        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        # operand index space includes the scalar-prefetch arg (index 0);
+        # the 4 state inputs start after the fixed + v2 operands
+        input_output_aliases={5 + n_extra + i: i for i in range(4)},
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )
@@ -272,7 +315,10 @@ def build(x, y, weights, w_total, family, penalty, config, interpret: bool):
         starts = (jax.random.permutation(key, T) * B).astype(jnp.int32)
         sc = jnp.zeros((1, 128), jnp.float32)
         sc = sc.at[0, 0].set(gamma).at[0, 1].set(l1).at[0, 2].set(l2).at[0, 3].set(w_total)
-        w, ivec, g_mem, g_sum = call(starts, x_pad, y_pad, wt_pad, sc, ps.w, ps.ivec, ps.g_mem, ps.g_sum)
+        w, ivec, g_mem, g_sum = call(
+            starts, x_pad, y_pad, wt_pad, sc, *extra_inputs,
+            ps.w, ps.ivec, ps.g_mem, ps.g_sum,
+        )
         ps = _PadState(w, ivec, g_mem, g_sum)
         if config.g_sum_refresh and not in_kernel_refresh:
             every = config.g_sum_refresh_every

@@ -567,13 +567,16 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
     if config.use_epoch_kernel:
         # small-problem path: state rides in the kernel's padded layout
         # across the whole lambda scan; pads are zero-preserved, so the
-        # convergence check below works unchanged on the padded tiles
+        # convergence check below works unchanged on the padded tiles.
+        # Offsets and penalty factors ride as v2 kernel operands (box
+        # limits still fall back to the XLA step path — fit() gates that).
         from sgdnet_tpu.solver import epoch_kernel as _ek
 
         _k, _p = state0.w.shape
         epoch_fn = _ek.build(
             x, y, weights, w_total, family, penalty, config,
             interpret=jax.default_backend() != "tpu",
+            offs=offs, pf=pf,
         )
         state0 = _ek.pad_state(state0, _p)
         unpad = partial(_ek.unpad_state, k=_k, p=_p)

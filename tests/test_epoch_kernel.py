@@ -95,14 +95,13 @@ def test_gate_rejects_unsupported():
 
 
 def test_gate_falls_back_on_options():
-    """Options outside the kernel's v1 surface (offsets, penalty factors,
-    box limits, sparse input) silently use the XLA path even when the
-    kernel is requested implicitly (auto) — stats record which ran."""
+    """Options outside the kernel surface (box limits, sparse input)
+    silently use the XLA path even when the kernel is requested — stats
+    record which ran.  Offsets and penalty factors are in the v2 surface
+    and no longer fall back (see the dedicated equivalence tests)."""
     x, y = _load("gaussian")
-    offs = np.random.default_rng(2).normal(size=len(y)) * 0.1
-    f = st.fit(x, y, family="gaussian", offset=offs, nlambda=4, dtype="float32")
-    assert f.stats["epoch_kernel"] is False
-    f = st.fit(x, y, family="gaussian", penalty_factor=np.ones(x.shape[1]), nlambda=4, dtype="float32")
+    f = st.fit(x, y, family="gaussian", lower_limits=-1.0, upper_limits=1.0,
+               nlambda=4, dtype="float32", use_epoch_kernel=True)
     assert f.stats["epoch_kernel"] is False
 
     import scipy.sparse as sp
@@ -110,6 +109,47 @@ def test_gate_falls_back_on_options():
     xs = sp.csr_matrix(np.where(np.abs(x) > 0.5, x, 0.0))
     f = st.fit(xs, y, family="gaussian", nlambda=4, dtype="float32")
     assert f.stats["epoch_kernel"] is False
+
+
+def test_offsets_in_kernel():
+    """v2 surface: linear-predictor offsets ride as a kernel operand — the
+    kernel path must match the XLA path on an offset-carrying fit (both
+    binomial link offsets and gaussian response-absorbed ones)."""
+    x, y = _load("binomial")
+    offs = np.random.default_rng(2).normal(size=len(y)) * 0.3
+    f_xla, f_ker = _pair(x, y, family="binomial", alpha=0.6, offset=offs)
+    _assert_close(f_xla, f_ker)
+    # gaussian offsets are absorbed into the response pre-solver: the
+    # kernel must engage (no offs operand) and agree too
+    xg, yg = _load("gaussian")
+    og = np.random.default_rng(3).normal(size=len(yg)) * 0.2
+    f_xla, f_ker = _pair(xg, yg, family="gaussian", alpha=0.8, offset=og)
+    _assert_close(f_xla, f_ker)
+
+
+def test_penalty_factors_in_kernel():
+    """v2 surface: per-feature penalty factors scale the decay and prox
+    threshold inside the kernel; pf=0 features stay unpenalized."""
+    x, y = _load("gaussian")
+    pf = np.ones(x.shape[1])
+    pf[0] = 0.0
+    pf[3] = 4.0
+    f_xla, f_ker = _pair(x, y, family="gaussian", alpha=1.0, penalty_factor=pf)
+    _assert_close(f_xla, f_ker)
+    # the unpenalized feature survives to the path start in both
+    assert np.abs(f_ker.beta[0, :, 0]).max() > 0
+
+
+def test_offsets_and_pf_in_kernel():
+    x, y = _load("binomial")
+    rng = np.random.default_rng(5)
+    offs = rng.normal(size=len(y)) * 0.2
+    pf = np.ones(x.shape[1])
+    pf[1] = 2.0
+    f_xla, f_ker = _pair(
+        x, y, family="binomial", alpha=0.5, offset=offs, penalty_factor=pf
+    )
+    _assert_close(f_xla, f_ker)
 
 
 def test_warm_path_predict_refit_consistency():

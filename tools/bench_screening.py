@@ -35,8 +35,11 @@ def main():
     xs = _to_scipy(data)
     yv = np.asarray(y).ravel()
 
+    # thresh=1e-3 (fit()'s default, the reference's own tolerance): a
+    # thresh=1e-4 full path is one multi-minute device dispatch, and the
+    # relay's worker died mid-dispatch twice at that depth (2026-08-20)
     kw = dict(
-        family="binomial", alpha=1.0, nlambda=50, thresh=1e-4, batch_size=2048,
+        family="binomial", alpha=1.0, nlambda=50, thresh=1e-3, batch_size=2048,
         seed=0,
     )
     log("fitting FULL path...")
