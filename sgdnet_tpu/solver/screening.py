@@ -171,28 +171,45 @@ def screened_path(
         )
     g_mem = jnp.zeros((n_pad, k), dtype)
 
+    # x / y / weights / offs are jit ARGUMENTS, not closure captures: a
+    # captured device array is embedded into the lowered HLO as a literal
+    # constant — a multi-GB head then exceeds the relay compile endpoint's
+    # request limit (HTTP 413, observed at D=16384 f32) and bloats the
+    # executable everywhere else
     @jax.jit
-    def gradient_scores(w_dev, b_dev):
+    def _scores_impl(x, xc, offs, y, weights, w_dev, b_dev):
         lp = _full_lp(x, xc, w_dev, b_dev, dtype, offs=offs)
         g = family.gradient(lp, y) * weights[:, None]  # (n_pad, k)
         xtg = _xtg(x, xc, g, w_total, dtype)
         return jnp.sqrt(jnp.sum(xtg.astype(jnp.float64) ** 2, axis=0))
 
+    def gradient_scores(w_dev, b_dev):
+        return _scores_impl(x, xc, offs, y, weights, w_dev, b_dev)
+
     @jax.jit
-    def group_scores(w_group, b_group):
+    def _group_scores_impl(x, xc, offs, y, weights, w_group, b_group):
         """Scores at each of G candidate solutions: (G, p)."""
 
         def one(carry, i):
-            return carry, gradient_scores(w_group[i], b_group[i])
+            lp = _full_lp(x, xc, w_group[i], b_group[i], dtype, offs=offs)
+            g = family.gradient(lp, y) * weights[:, None]
+            xtg = _xtg(x, xc, g, w_total, dtype)
+            return carry, jnp.sqrt(jnp.sum(xtg.astype(jnp.float64) ** 2, axis=0))
 
         _, s = jax.lax.scan(one, 0, jnp.arange(w_group.shape[0]))
         return s
 
+    def group_scores(w_group, b_group):
+        return _group_scores_impl(x, xc, offs, y, weights, w_group, b_group)
+
     @jax.jit
-    def dataset_deviance(w_dev, b_dev):
+    def _deviance_impl(x, xc, offs, y, weights, w_dev, b_dev):
         lp = _full_lp(x, xc, w_dev, b_dev, dtype, offs=offs)
         losses = family.loss_report(lp, y) * weights
         return 2.0 * jnp.sum(losses)
+
+    def dataset_deviance(w_dev, b_dev):
+        return _deviance_impl(x, xc, offs, y, weights, w_dev, b_dev)
 
     w_out = np.zeros((nl, k, p))
     b_out = np.zeros((nl, k))
