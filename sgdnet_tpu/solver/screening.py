@@ -146,6 +146,7 @@ def screened_path(
     group_size: int = 4,
     kkt_slack: float = 1e-5,
     max_kkt_rounds: int = 3,
+    full_fallback_frac: float = 0.35,
 ):
     """Strong-rule screened warm-started path.  Returns (w_path (nl, k, p),
     intercept_path (nl, k), deviance (nl,), n_epochs (nl,), return_codes,
@@ -225,6 +226,14 @@ def screened_path(
     gammas_np = np.asarray(gammas, dtype=np.float64)
     l2s_np = np.asarray(l2s, dtype=np.float64)
 
+    # work basis for a full-layout group: elements the solver streams per
+    # epoch on the native layout (nnz for sparse layouts, n*p dense)
+    if isinstance(x, (PaddedCSR, HybridCSR)):
+        full_elems = x.total_nnz()
+    else:
+        full_elems = n_pad * p
+    full_groups = 0
+
     li = 0
     while li < nl:
         hi = min(li + group_size, nl)
@@ -255,6 +264,55 @@ def screened_path(
             | (np.abs(w_full).sum(axis=0) > 0)
             | (pf_np == 0)
         ) & ~excl_np
+
+        # Dense-regime fallback (round 4, measured on the bench workload):
+        # once the strong rule keeps more than `full_fallback_frac` of the
+        # features, the dense column-subset strategy stops paying — the
+        # subset is nearly as wide as the design but materialized DENSE,
+        # while the full design sits in its (faster) native layout.  Fit
+        # this lambda group on the full design instead: exact by
+        # construction (every feature present, KKT vacuous), still
+        # warm-started, and the active-set machinery resumes for later
+        # groups (it won't shrink along a path, but refits with custom
+        # lambda orders can).
+        if active.sum() > full_fallback_frac * p:
+            from sgdnet_tpu.solver.saga import _refresh_g_sum
+
+            state = SagaState(
+                w=jnp.asarray(w_full, dtype),
+                intercept=b_dev,
+                g_mem=g_mem,
+                g_sum=jnp.zeros((k, p), dtype),
+                g_sum_intercept=jnp.zeros((k,), dtype),
+            )
+            state = _refresh_g_sum(x, xc, weights, jnp.asarray(w_total, dtype), state, config)
+            state, n_it, results = fit_path(
+                x, y, weights, xc,
+                jnp.asarray(gammas_np[li:hi], dtype),
+                jnp.asarray(l1s_np[li:hi], dtype),
+                jnp.asarray(l2s_np[li:hi], dtype),
+                jnp.asarray(tol, dtype),
+                jax.random.fold_in(key, li * 7),
+                state, family, penalty, config,
+                offs=offs, pf=pf, box=box,
+            )
+            total_epochs += int(n_it)
+            work_elems += int(n_it) * int(full_elems)
+            w_grp = np.asarray(results.w, dtype=np.float64)
+            b_grp = np.asarray(results.intercept, dtype=np.float64)
+            g_mem = state.g_mem
+            w_out[li:hi] = w_grp
+            b_out[li:hi] = b_grp
+            dev_out[li:hi] = np.asarray(results.deviance, dtype=np.float64)
+            iters_out[li:hi] = np.asarray(results.n_epochs, dtype=np.int32)
+            codes_out[li:hi] = np.asarray(results.return_codes, dtype=np.int32)
+            active_hist.append(int(active.sum()))
+            kkt_rounds_hist.append(0)
+            full_groups += 1
+            w_full = w_grp[-1]
+            intercept = b_grp[-1]
+            li = hi
+            continue
 
         # KKT safety loop: the active set only grows, and once it reaches
         # the full feature set the violation check (which masks `~active`)
@@ -381,5 +439,8 @@ def screened_path(
         # (the expansion loop above runs until clean — exact by construction)
         "kkt_clean": True,
         "kkt_rounds_per_group": kkt_rounds_hist,
+        # lambda groups fit on the FULL native layout because the strong
+        # rule kept > full_fallback_frac of the features (dense path tail)
+        "full_fallback_groups": full_groups,
     }
     return w_out, b_out, dev_out, iters_out, codes_out, total_epochs, stats

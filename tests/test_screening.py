@@ -200,3 +200,22 @@ def test_screened_throughput_counts_work_not_coverage():
     assert s["coverage_nnz"] == n_pad * p * s["epochs"]
     assert s["screening"]["mean_active"] < p
     assert work < s["coverage_nnz"]
+
+
+def test_screening_full_fallback_dense_tail():
+    """Deep paths activate most features; groups past full_fallback_frac
+    must run on the full native layout (stats record it) and stay exact."""
+    rng = np.random.default_rng(3)
+    n, p = 150, 200
+    x = rng.normal(size=(n, p))
+    y = x @ rng.normal(size=p) + 0.1 * rng.normal(size=n)  # dense truth
+
+    full = st.fit(x, y, nlambda=10, lambda_min_ratio=1e-4, thresh=1e-6,
+                  maxit=3000, dtype=np.float64)
+    scr = st.fit(x, y, lambda_path=full.lambda_, thresh=1e-6, maxit=3000,
+                 dtype=np.float64, screen=True)
+    st_stats = scr.stats["screening"]
+    assert st_stats["full_fallback_groups"] >= 1
+    assert st_stats["work_elems"] > 0
+    scale = max(1.0, np.abs(full.beta).max())
+    np.testing.assert_allclose(scr.beta, full.beta, atol=2e-3 * scale)

