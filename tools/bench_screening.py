@@ -47,14 +47,18 @@ def main():
     full = st.fit(xs, yv, **kw)
     _ = float(np.asarray(full.beta).sum())
     t_full = time.perf_counter() - t0
-    log(f"full path done: {t_full:.1f}s, {full.stats['epochs']} epochs")
+    log(f"full path done: {t_full:.1f}s, {full.stats['epochs']} epochs, "
+        f"in-path {full.stats['wall_time_s']:.1f}s, "
+        f"solver {full.stats['nnz_per_s']:.3e} nnz/s, "
+        f"layout {full.stats['layout']}")
 
     log("fitting SCREENED path...")
     t0 = time.perf_counter()
     scr = st.fit(xs, yv, screen=True, lambda_path=full.lambda_, **kw)
     _ = float(np.asarray(scr.beta).sum())
     t_scr = time.perf_counter() - t0
-    log(f"screened path done: {t_scr:.1f}s, {scr.stats['epochs']} epochs")
+    log(f"screened path done: {t_scr:.1f}s, {scr.stats['epochs']} epochs, "
+        f"work-based {scr.stats['nnz_per_s']:.3e} elem/s")
 
     scale = max(np.abs(full.beta).max(), 1.0)
     diff = np.abs(scr.beta - full.beta).max()
@@ -70,6 +74,26 @@ def main():
         f"-> {t_full/t_scr:.2f}x")
     log(f"screening stats: {stats}")
     assert diff <= 1e-2 * scale, "screened path outside stopping-noise bound"
+
+    # --- sparse-regime leg: the top of the path (lambda[:28], where the
+    # strong rule keeps <= ~10% of features) is the regime screening was
+    # built for; the full 50-lambda path's dense tail (~48% active) is
+    # where the full-layout fallback keeps it from losing badly ---
+    lam_head = full.lambda_[:28]
+    t0 = time.perf_counter()
+    f28 = st.fit(xs, yv, lambda_path=lam_head, **kw)
+    _ = float(np.asarray(f28.beta).sum())
+    t_f28 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s28 = st.fit(xs, yv, screen=True, lambda_path=lam_head, **kw)
+    _ = float(np.asarray(s28.beta).sum())
+    t_s28 = time.perf_counter() - t0
+    d28 = np.abs(s28.beta - f28.beta).max()
+    log(f"sparse-regime (28-lambda head): full {t_f28:.1f}s "
+        f"({f28.stats['epochs']} ep) vs screened {t_s28:.1f}s "
+        f"({s28.stats['epochs']} ep) -> {t_f28/t_s28:.2f}x, "
+        f"mean_active {s28.stats['screening']['mean_active']:.0f}, "
+        f"agreement {d28/scale:.2e} rel")
     log("PASS")
 
 
