@@ -204,6 +204,7 @@ def fit(
     hybrid_memory_budget: float = 2e9,
     hybrid_head_dtype=None,
     g_sum_refresh_every: int = 1,
+    lambda_chunk: int | None = None,
 ) -> SgdnetFit:
     """Fit an elastic-net regularized GLM path with batched SAGA.
 
@@ -241,6 +242,13 @@ def fit(
     coefficients replicated, one psum per step (see parallel/dist.py).
     `batch_size` is then the per-device batch; the global batch is
     batch_size * n_devices.
+
+    `lambda_chunk` splits the path program into warm-started chunks of that
+    many lambdas, one compiled dispatch per chunk (ingestion still happens
+    once).  The default (None) runs the whole path as ONE dispatch — the
+    fastest schedule — but a runtime that bounds single-dispatch execution
+    time (observed: the axon relay killing its worker under multi-minute
+    dispatches) can run chunked with only per-chunk dispatch overhead.
 
     `hybrid_max_head="auto"` sizes the dense head from the measured v5e
     cost model (core/layout.py `plan_layout`): columns whose nonzero count
@@ -952,9 +960,35 @@ def fit(
             clamp_gap=np.zeros(len(l1s)),
         )
     elif mesh is None:
-        state, n_iter, results = fit_path(
-            x, y_proc, weights, xc, *path_args, offs=offs_dev, pf=pf_dev, box=box
-        )
+        if lambda_chunk is None or lambda_chunk >= len(l1s):
+            state, n_iter, results = fit_path(
+                x, y_proc, weights, xc, *path_args, offs=offs_dev, pf=pf_dev, box=box
+            )
+        else:
+            # chunked path: same warm-started semantics, one dispatch per
+            # `lambda_chunk` lambdas; each chunk's results are read back
+            # eagerly so a killed dispatch loses only its own chunk
+            gam_d, l1_d, l2_d, thr_d, _key, _st, _fam, _pen, _cfg = path_args
+            state = _st
+            n_iter = 0
+            _parts = []
+            for _lo in range(0, len(l1s), lambda_chunk):
+                _sl = slice(_lo, _lo + lambda_chunk)
+                state, _it, _res = fit_path(
+                    x, y_proc, weights, xc,
+                    gam_d[_sl], l1_d[_sl], l2_d[_sl], thr_d,
+                    jax.random.fold_in(_key, _lo), state, _fam, _pen, _cfg,
+                    offs=offs_dev, pf=pf_dev, box=box,
+                )
+                _it, _res = jax.device_get((_it, _res))
+                n_iter += int(_it)
+                _parts.append(_res)
+            from sgdnet_tpu.solver.saga import PathResults
+
+            results = PathResults(
+                *(np.concatenate([getattr(p, f) for p in _parts])
+                  for f in PathResults._fields)
+            )
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1121,5 +1155,6 @@ def fit(
         use_pallas=use_pallas,
         use_epoch_kernel=use_epoch_kernel,
         intercept_decay=intercept_decay,
+        lambda_chunk=lambda_chunk,
     )
     return fit_obj

@@ -104,3 +104,24 @@ def test_explicit_lambda_used_verbatim():
     lams = [0.5, 0.1, 0.01]
     fit = st.fit(x, y, lambda_path=lams, dtype=np.float64)
     np.testing.assert_allclose(fit.lambda_, lams)
+
+
+def test_lambda_chunked_path_matches_single_dispatch():
+    """lambda_chunk splits the path into warm-started chunked dispatches;
+    the result must match the one-dispatch path (same seed, same solver —
+    only the per-lambda PRNG folding differs, so agreement is at the
+    solver-tolerance level, not bitwise)."""
+    import numpy as np
+
+    import sgdnet_tpu as st
+    from tests.helpers import random_data
+
+    x, y = random_data(n=200, p=12, seed=8)
+    kw = dict(nlambda=9, thresh=1e-7, maxit=3000, dtype=np.float64, seed=1)
+    one = st.fit(x, y, **kw)
+    chunked = st.fit(x, y, lambda_chunk=4, **kw)
+    assert chunked.npasses > 0
+    scale = max(1.0, np.abs(one.beta).max())
+    np.testing.assert_allclose(chunked.beta, one.beta, atol=2e-3 * scale)
+    np.testing.assert_allclose(chunked.dev_ratio, one.dev_ratio, atol=1e-3)
+    np.testing.assert_array_equal(chunked.lambda_, one.lambda_)
