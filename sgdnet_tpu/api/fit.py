@@ -384,10 +384,22 @@ def fit(
             _xh, col_perm = HybridCSR.split_columns(_scipy_x, **_split_kw)
         # upload head + tail; KEEP the tail host-side too — the BlockCOO
         # packing below needs numpy, and reading a device tail back through
-        # the relay's ~0.2 MB/s device->host path costs minutes per fit
+        # the relay's ~0.2 MB/s device->host path costs minutes per fit.
+        # The multi-GB head goes up in row chunks: single >1.5 GB transfers
+        # destabilize the relay worker (same defense bench.py uses)
+        def _chunked_put(a, chunk_mb=256):
+            if a.nbytes <= (chunk_mb << 20):
+                return jnp.asarray(a)
+            rows = max(1, (chunk_mb << 20) // max(a[:1].nbytes, 1))
+            parts = [
+                jax.device_put(np.ascontiguousarray(a[i : i + rows]))
+                for i in range(0, a.shape[0], rows)
+            ]
+            return jnp.concatenate(parts, axis=0)
+
         _host_tail = _xh.tail  # numpy container
         x = HybridCSR(
-            jnp.asarray(_xh.head),
+            _chunked_put(_xh.head),
             PaddedCSR(
                 jnp.asarray(_host_tail.indices), jnp.asarray(_host_tail.values),
                 jnp.asarray(_host_tail.nnz), _xh.n_rows, _xh.n_cols,
