@@ -287,6 +287,11 @@ def scipy_row_sq_norms(x, mean=None, sd=None):
     return t1 - 2.0 * t2 + const
 
 
+#: fused nonzero count (see HybridCSR.total_nnz) — float accumulation to
+#: dodge int32 wrap without x64; jit so no head-sized intermediate exists
+_count_nonzero_f = jax.jit(lambda h: jnp.sum((h != 0).astype(jnp.float64)))
+
+
 def _quantize_head_impl(h):
     hf = h.astype(jnp.float32)
     scale = jnp.max(jnp.abs(hf), axis=0) / 127.0
@@ -587,7 +592,10 @@ class HybridCSR:
             # Count in float — count_nonzero returns int32 without x64 and a
             # >=16k-wide head at bench scale has > 2^31 elements; the f32
             # tree reduction is ~1e-7-relative, fine for a stats counter.
-            head_nnz = int(jnp.sum((self.head != 0).astype(jnp.float64)))
+            # MUST run jitted: the eager compare+convert chain materializes
+            # a head-sized f32 intermediate (13 GB at D=32768) — jit lets
+            # XLA fuse it into the reduction.
+            head_nnz = int(_count_nonzero_f(self.head))
         return head_nnz + self.tail.total_nnz()
 
     def _head_f(self, dtype=jnp.float64) -> jnp.ndarray:
