@@ -258,6 +258,32 @@ def fit(
     halve/quarter the dominant HBM stream (convergence validated on-chip,
     RESULTS.md) and widen the auto head accordingly.
     """
+    # prep tracing (SGDNET_TRACE_PREP=1): stage timings with a forced device
+    # sync each — the observability hook that isolated a relay worker crash
+    # to a specific prologue stage (async dispatch otherwise surfaces errors
+    # at the next sync, far from the culprit)
+    import os as _os
+    import time as _ptime
+
+    if _os.environ.get("SGDNET_TRACE_PREP"):
+        _pt0 = _ptime.perf_counter()
+
+        def _trace(label, sync=None):
+            if sync is not None:
+                try:
+                    jax.block_until_ready(sync)
+                    if isinstance(sync, jax.Array):
+                        float(jnp.sum(jnp.ravel(sync)[:1]).astype(jnp.float32))
+                except Exception as e:  # noqa: BLE001
+                    print(f"[fit-prep {_ptime.perf_counter()-_pt0:7.1f}s] {label}: SYNC FAILED {e}",
+                          file=__import__("sys").stderr, flush=True)
+                    raise
+            print(f"[fit-prep {_ptime.perf_counter()-_pt0:7.1f}s] {label}",
+                  file=__import__("sys").stderr, flush=True)
+    else:
+        def _trace(label, sync=None):
+            return None
+
     # ---- validation (reference R/sgdnet.R:211-263) ----
     if family not in FAMILIES:
         raise ValueError(f"family must be one of {FAMILIES}")
@@ -410,6 +436,7 @@ def fit(
         _xh = None
         is_sparse = True
         _nan_checked = True
+        _trace("int8 host ingestion: layout uploaded", x.head)
         _scipy_x = None  # free the host CSR
     else:
         _host_tail = None
@@ -682,6 +709,7 @@ def fit(
     else:
         lambdas = lambda_path
 
+    _trace("nulldev + preprocess + lambda path")
     max_scale = float(jnp.max(y_scale))
     l2s = (1.0 - alpha) * lambdas / max_scale  # reference's `alpha` (src/utils.h:176)
     l1s = alpha * lambdas / max_scale  # reference's `beta` (src/utils.h:178)
@@ -713,6 +741,7 @@ def fit(
         top_sq = float(power_iteration_sq_norm(x, xc)) / w_total
     else:
         top_sq = None
+    _trace("row norms + power iteration")
     gammas = saga_step_sizes(
         max_sq, top_sq, jnp.asarray(l2s), w_total, batch_size, intercept, fam.L_scaling
     )
@@ -801,6 +830,7 @@ def fit(
         if offs64 is not None:
             offs64 = offs64[rperm]
 
+    _trace("row shuffle dispatched", x.head if (sampling == "block" and isinstance(x, HybridCSR)) else None)
     offs_dev = None if offs64 is None else offs64.astype(dtype)
     if n_pad > n_samples:
         extra = n_pad - n_samples
@@ -842,6 +872,7 @@ def fit(
             head_scale=x.head_scale,
         )
 
+    _trace("pad + blockcoo ready", getattr(getattr(x, 'blk_tail', None), 'vals', None))
     # safety net: int8 heads are normally quantized EARLY (above, before the
     # shuffle/pad — bitwise-identical, far smaller transients); this no-ops
     # then, and covers any future path that reaches here with an f32 head.
@@ -928,6 +959,7 @@ def fit(
             (x, y_proc, weights, xc, offs_dev, pf_dev, box, state0, gammas),
         )
 
+    _trace("state + solver inputs ready")
     import time as _time
 
     _t0 = _time.perf_counter()
@@ -993,6 +1025,7 @@ def fit(
                     offs=offs_dev, pf=pf_dev, box=box,
                 )
                 _it, _res = jax.device_get((_it, _res))
+                _trace(f"lambda chunk {_lo} done ({int(_it)} epochs)")
                 n_iter += int(_it)
                 _parts.append(_res)
             from sgdnet_tpu.solver.saga import PathResults

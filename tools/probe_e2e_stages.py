@@ -115,6 +115,23 @@ def main(D=16384):
                               jax.random.PRNGKey(0), state, fam, pen, config)
     _ = float(jnp.sum(st_.w))
     log(f"fit_path 1-lambda maxit=5 OK in {time.perf_counter()-t0:.1f}s, epochs {int(it_)}")
+
+    # exact chunk-1 shape of the e2e harness: 10 lambdas, maxit=1000
+    import dataclasses
+    config2 = dataclasses.replace(config, max_iter=1000)
+    nl = 10
+    lams = np.exp(np.linspace(np.log(lam), np.log(lam) + np.log(1e-4) * (nl - 1) / 49, nl))
+    l1s = jnp.asarray(lams, jnp.float32)
+    l2s = jnp.zeros_like(l1s)
+    gam = jnp.full((nl,), 3e-3, jnp.float32)
+    state = init_state(n_pad, x.n_cols, 1, jnp.float32)
+    t0 = time.perf_counter()
+    st_, it_, res_ = fit_path(x3, y3, w3, xc, gam, l1s, l2s,
+                              jnp.asarray(1e-3, jnp.float32),
+                              jax.random.PRNGKey(0), state, fam, pen, config2)
+    _ = float(jnp.sum(st_.w))
+    log(f"fit_path 10-lambda maxit=1000 OK in {time.perf_counter()-t0:.1f}s, "
+        f"epochs {int(it_)}")
     log("ALL STAGES OK")
 
 
