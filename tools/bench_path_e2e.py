@@ -38,10 +38,11 @@ def run_one(xs, yv, nnz, D, screen_after=True):
         sampling="block", hybrid_head_dtype="int8", hybrid_max_head=D,
         hybrid_coverage=0.995, hybrid_memory_budget=4e9,
         g_sum_refresh_every=8, seed=0,
-        # the relay kills its worker under multi-minute single dispatches
-        # (observed 3/3 on the unchunked n=100k path, 2026-08-20): run the
-        # path in 10-lambda warm-started chunks, one dispatch each
-        lambda_chunk=10,
+        # the relay kills its worker under long single dispatches (observed
+        # 3/3 unchunked, and once mid-path at 10-lambda chunks, 2026-08-20):
+        # run the path in 4-lambda warm-started chunks, one dispatch each
+        # (~10-30 s); the per-chunk dispatch overhead is noted in RESULTS.md
+        lambda_chunk=4,
     )
 
     t0 = time.perf_counter()
