@@ -1011,22 +1011,38 @@ def fit(
         else:
             # chunked path: same warm-started semantics, one dispatch per
             # `lambda_chunk` lambdas; each chunk's results are read back
-            # eagerly so a killed dispatch loses only its own chunk
+            # eagerly so a killed dispatch loses only its own chunk.
+            # Per-chunk step backoff: if any lambda in the chunk hits
+            # max_iter (return code 1), refit the chunk from its pre-chunk
+            # state with gammas halved (up to 2 halvings, sticky for the
+            # rest of the path — measured on the bench workload, the
+            # expected-smoothness step oscillates mid-path where the active
+            # set densifies, and gamma/2 converges in a fraction of the
+            # epochs the oscillation burned).  All attempts count toward
+            # npasses; unresolved chunks keep their honest code-1.
             gam_d, l1_d, l2_d, thr_d, _key, _st, _fam, _pen, _cfg = path_args
             state = _st
             n_iter = 0
             _parts = []
+            _bk = 0  # halvings applied so far
             for _lo in range(0, len(l1s), lambda_chunk):
                 _sl = slice(_lo, _lo + lambda_chunk)
-                state, _it, _res = fit_path(
-                    x, y_proc, weights, xc,
-                    gam_d[_sl], l1_d[_sl], l2_d[_sl], thr_d,
-                    jax.random.fold_in(_key, _lo), state, _fam, _pen, _cfg,
-                    offs=offs_dev, pf=pf_dev, box=box,
-                )
-                _it, _res = jax.device_get((_it, _res))
-                _trace(f"lambda chunk {_lo} done ({int(_it)} epochs)")
-                n_iter += int(_it)
+                _state_in = state
+                for _try in range(3):
+                    state, _it, _res = fit_path(
+                        x, y_proc, weights, xc,
+                        gam_d[_sl] * (0.5 ** _bk), l1_d[_sl], l2_d[_sl], thr_d,
+                        jax.random.fold_in(_key, _lo + 1000 * _try), _state_in,
+                        _fam, _pen, _cfg,
+                        offs=offs_dev, pf=pf_dev, box=box,
+                    )
+                    _it, _res = jax.device_get((_it, _res))
+                    n_iter += int(_it)
+                    if not (np.asarray(_res.return_codes) == 1).any() or _try == 2:
+                        break
+                    _bk += 1
+                    _trace(f"lambda chunk {_lo}: non-converged; gamma backoff x0.5^{_bk}")
+                _trace(f"lambda chunk {_lo} done ({int(_it)} epochs, backoff {_bk})")
                 _parts.append(_res)
             from sgdnet_tpu.solver.saga import PathResults
 

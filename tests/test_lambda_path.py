@@ -125,3 +125,34 @@ def test_lambda_chunked_path_matches_single_dispatch():
     np.testing.assert_allclose(chunked.beta, one.beta, atol=2e-3 * scale)
     np.testing.assert_allclose(chunked.dev_ratio, one.dev_ratio, atol=1e-3)
     np.testing.assert_array_equal(chunked.lambda_, one.lambda_)
+
+
+def test_lambda_chunk_backoff_mechanics():
+    """With maxit=1 every lambda reports code 1, so each chunk exhausts its
+    3 attempts (backoff sticky across chunks) and npasses counts every
+    attempted epoch; final return codes stay an honest 1."""
+    import numpy as np
+
+    import sgdnet_tpu as st
+    from tests.helpers import random_data
+
+    x, y = random_data(n=64, p=6, seed=3)
+    f = st.fit(x, y, nlambda=4, maxit=1, lambda_chunk=2, thresh=1e-12,
+               dtype=np.float64)
+    # 2 chunks x 3 attempts x 2 lambdas x 1 epoch
+    assert f.npasses == 12
+    assert (f.return_codes == 1).all()
+
+
+def test_lambda_chunk_backoff_recovers_convergence():
+    """A chunked fit whose first attempt cannot converge (tiny maxit) still
+    returns code-1 honestly, while a converging chunked fit reports 0."""
+    import numpy as np
+
+    import sgdnet_tpu as st
+    from tests.helpers import random_data
+
+    x, y = random_data(n=200, p=8, seed=4)
+    ok = st.fit(x, y, nlambda=6, lambda_chunk=3, thresh=1e-5, maxit=2000,
+                dtype=np.float64)
+    assert (ok.return_codes == 0).all()

@@ -40,9 +40,14 @@ def run_one(xs, yv, nnz, D, screen_after=True):
         g_sum_refresh_every=8, seed=0,
         # the relay kills its worker under long single dispatches (observed
         # 3/3 unchunked, and once mid-path at 10-lambda chunks, 2026-08-20):
-        # run the path in 4-lambda warm-started chunks, one dispatch each
-        # (~10-30 s); the per-chunk dispatch overhead is noted in RESULTS.md
-        lambda_chunk=4,
+        # run the path in 4-lambda warm-started chunks, one dispatch each.
+        # maxit=200 bounds each attempt's dispatch to ~20 s; the chunked
+        # path's automatic gamma backoff then resolves the measured mid-path
+        # oscillation of the expected-smoothness step (tools/
+        # probe_gamma_depth.py: lam[24..31] hit maxit at gamma=0.069,
+        # converge cleanly at gamma/2) instead of burning 1000-epoch
+        # dispatches.  Final return codes stay honest.
+        lambda_chunk=4, maxit=200,
     )
 
     t0 = time.perf_counter()
