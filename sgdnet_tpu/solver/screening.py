@@ -75,54 +75,85 @@ def _xtg(x, xc, g, w_total, dtype):
     return xtg
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("dtype",))
+def _subset_hybrid_jit(head, head_scale, t_idx, t_val, slot_dev, cols, xc, dtype):
+    """Jitted (n_pad, K) subset build for HybridCSR — MUST be jitted: the
+    eager op chain materializes several head-sized f32 temporaries (gather,
+    astype, mask multiply) and OOMed a 16 GB chip at bench scale."""
+    n_pad = head.shape[0]
+    d = head.shape[1]
+    p = slot_dev.shape[0] - 1
+    K = cols.shape[0]
+    head_cols = jnp.where(cols < d, cols, 0)
+    head_part = head[:, head_cols].astype(dtype) * (cols < d)[None, :]
+    if head_scale is not None:
+        head_part = head_part * head_scale[head_cols].astype(dtype)[None, :]
+    rows = jnp.broadcast_to(jnp.arange(n_pad)[:, None], t_idx.shape)
+    tail_part = (
+        jnp.zeros((n_pad, K + 1), dtype)
+        .at[rows, slot_dev[t_idx]]
+        .add(t_val.astype(dtype))[:, :K]
+    )
+    sub = head_part + tail_part
+    if xc is not None:
+        c_sub = jnp.where(cols < p, xc.astype(dtype)[jnp.minimum(cols, p - 1)], 0.0)
+        sub = sub - c_sub[None, :]
+    return sub
+
+
+@_partial(jax.jit, static_argnames=("dtype",))
+def _subset_padded_jit(t_idx, t_val, slot_dev, cols, xc, dtype):
+    n_pad = t_idx.shape[0]
+    p = slot_dev.shape[0] - 1
+    K = cols.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(n_pad)[:, None], t_idx.shape)
+    sub = (
+        jnp.zeros((n_pad, K + 1), dtype)
+        .at[rows, slot_dev[t_idx]]
+        .add(t_val.astype(dtype))[:, :K]
+    )
+    if xc is not None:
+        c_sub = jnp.where(cols < p, xc.astype(dtype)[jnp.minimum(cols, p - 1)], 0.0)
+        sub = sub - c_sub[None, :]
+    return sub
+
+
+@_partial(jax.jit, static_argnames=("dtype",))
+def _subset_dense_jit(x, cols, xc, dtype):
+    p = x.shape[1]
+    sub = jnp.where(
+        (cols < p)[None, :], x[:, jnp.minimum(cols, p - 1)].astype(dtype), 0.0
+    )
+    if xc is not None:
+        c_sub = jnp.where(cols < p, xc.astype(dtype)[jnp.minimum(cols, p - 1)], 0.0)
+        sub = sub - c_sub[None, :]
+    return sub
+
+
 def _column_subset(x, xc, cols_np: np.ndarray, p: int, dtype):
     """Dense, fully-centered (n_pad, K+1) block of the selected columns.
 
     cols_np has K entries in [0, p]; index p selects the all-zero dummy.
     The returned block needs NO centering correction (pad rows carry weight
-    0, so their nonzero centered values are inert)."""
+    0, so their nonzero centered values are inert).  The device work runs
+    in jitted builders (one compile per bucket size K)."""
     K = len(cols_np)
     cols = jnp.asarray(cols_np)
-    if isinstance(x, HybridCSR):
-        n_pad = x.n_rows
-        d = x.n_head
-        # head part: gather head columns (dummy/tail slots -> 0); an int8
-        # head dequantizes per gathered column
-        head_cols = jnp.where(cols < d, cols, 0)
-        head_part = x.head[:, head_cols].astype(dtype) * (cols < d)[None, :]
-        if x.head.dtype == jnp.int8:
-            head_part = head_part * x.head_scale[head_cols].astype(dtype)[None, :]
-        # tail part: scatter nonzeros through a col -> slot lookup
+    if isinstance(x, (HybridCSR, PaddedCSR)):
         slot = np.full(p + 1, K, dtype=np.int32)
         real = cols_np < p
         slot[cols_np[real]] = np.arange(K, dtype=np.int32)[real]
         slot_dev = jnp.asarray(slot)
-        rows = jnp.broadcast_to(jnp.arange(n_pad)[:, None], x.tail.indices.shape)
-        tail_part = (
-            jnp.zeros((n_pad, K + 1), dtype)
-            .at[rows, slot_dev[x.tail.indices]]
-            .add(x.tail.values.astype(dtype))[:, :K]
-        )
-        sub = head_part + tail_part
-    elif isinstance(x, PaddedCSR):
-        n_pad = x.n_rows
-        slot = np.full(p + 1, K, dtype=np.int32)
-        real = cols_np < p
-        slot[cols_np[real]] = np.arange(K, dtype=np.int32)[real]
-        slot_dev = jnp.asarray(slot)
-        rows = jnp.broadcast_to(jnp.arange(n_pad)[:, None], x.indices.shape)
-        sub = (
-            jnp.zeros((n_pad, K + 1), dtype)
-            .at[rows, slot_dev[x.indices]]
-            .add(x.values.astype(dtype))[:, :K]
-        )
-    else:
-        x_ext = jnp.concatenate([x, jnp.zeros((x.shape[0], 1), x.dtype)], axis=1)
-        sub = x_ext[:, cols].astype(dtype)
-    if xc is not None:  # full centering, applied densely to real columns
-        c_sub = jnp.where(cols < p, xc.astype(dtype)[jnp.minimum(cols, p - 1)], 0.0)
-        sub = sub - c_sub[None, :]
-    return sub
+        if isinstance(x, HybridCSR):
+            return _subset_hybrid_jit(
+                x.head, x.head_scale, x.tail.indices, x.tail.values,
+                slot_dev, cols, xc, dtype=dtype,
+            )
+        return _subset_padded_jit(x.indices, x.values, slot_dev, cols, xc, dtype=dtype)
+    return _subset_dense_jit(x, cols, xc, dtype=dtype)
 
 
 def screened_path(
