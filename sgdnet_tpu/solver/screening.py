@@ -178,6 +178,7 @@ def screened_path(
     kkt_slack: float = 1e-5,
     max_kkt_rounds: int = 3,
     full_fallback_frac: float = 0.35,
+    subset_mem_budget: float = 8e9,
 ):
     """Strong-rule screened warm-started path.  Returns (w_path (nl, k, p),
     intercept_path (nl, k), deviance (nl,), n_epochs (nl,), return_codes,
@@ -298,15 +299,16 @@ def screened_path(
 
         # Dense-regime fallback (round 4, measured on the bench workload):
         # once the strong rule keeps more than `full_fallback_frac` of the
-        # features, the dense column-subset strategy stops paying — the
-        # subset is nearly as wide as the design but materialized DENSE,
-        # while the full design sits in its (faster) native layout.  Fit
-        # this lambda group on the full design instead: exact by
-        # construction (every feature present, KKT vacuous), still
+        # features — OR the dense subset would exceed the subset memory
+        # budget (~4 f32 buffers of (n_pad, K); a K=16384 bucket at n=100k
+        # OOMed the 16 GB chip) — the column-subset strategy stops paying.
+        # Fit such lambda groups on the full design in its native layout:
+        # exact by construction (every feature present, KKT vacuous), still
         # warm-started, and the active-set machinery resumes for later
         # groups (it won't shrink along a path, but refits with custom
         # lambda orders can).
-        if active.sum() > full_fallback_frac * p:
+        def fit_group_full(active_count):
+            nonlocal total_epochs, work_elems, w_full, intercept, g_mem, full_groups
             from sgdnet_tpu.solver.saga import _refresh_g_sum
 
             state = SagaState(
@@ -337,11 +339,15 @@ def screened_path(
             dev_out[li:hi] = np.asarray(results.deviance, dtype=np.float64)
             iters_out[li:hi] = np.asarray(results.n_epochs, dtype=np.int32)
             codes_out[li:hi] = np.asarray(results.return_codes, dtype=np.int32)
-            active_hist.append(int(active.sum()))
+            active_hist.append(int(active_count))
             kkt_rounds_hist.append(0)
             full_groups += 1
             w_full = w_grp[-1]
             intercept = b_grp[-1]
+
+        K_limit = max(256, int(subset_mem_budget // (16 * n_pad)))
+        if active.sum() > full_fallback_frac * p or _bucket(max(int(active.sum()), 1)) > K_limit:
+            fit_group_full(int(active.sum()))
             li = hi
             continue
 
@@ -353,14 +359,19 @@ def screened_path(
         # typical) a RuntimeWarning flags the slow strong rule, but the
         # expansion continues rather than silently returning an inexact fit.
         kkt_round = 0
+        _went_full = False
         while True:
             idx = np.flatnonzero(active)
             K = min(_bucket(max(len(idx), 1)), p)
+            if K > K_limit or len(idx) > K:
+                # KKT expansion outgrew the subset budget mid-group: finish
+                # the group on the full native layout (exact, and bounded
+                # memory — the old dense-everything fallback OOMed here)
+                fit_group_full(len(idx))
+                _went_full = True
+                break
             padded = np.full(K, p, dtype=np.int32)  # dummy column
             padded[: len(idx)] = idx[:K]
-            if len(idx) > K:  # bucket cap hit: fall back to everything
-                padded = np.arange(p, dtype=np.int32)
-                K = p
 
             x_sub = _column_subset(x, xc, padded, p, dtype)[:, :K]
             real = padded < p
@@ -444,18 +455,19 @@ def screened_path(
                     stacklevel=2,
                 )
 
-        w_out[li:hi] = w_grp
-        b_out[li:hi] = b_grp
-        iters_out[li:hi] = np.asarray(results.n_epochs, dtype=np.int32)
-        codes_out[li:hi] = np.asarray(results.return_codes, dtype=np.int32)
-        for gi in range(G):
-            dev_out[li + gi] = float(
-                dataset_deviance(jnp.asarray(w_grp[gi], dtype), jnp.asarray(b_grp[gi], dtype))
-            )
-        active_hist.append(int(active.sum()))
-        kkt_rounds_hist.append(kkt_round)
-        w_full = w_grp[-1]
-        intercept = b_grp[-1]
+        if not _went_full:  # fit_group_full already wrote this group's outputs
+            w_out[li:hi] = w_grp
+            b_out[li:hi] = b_grp
+            iters_out[li:hi] = np.asarray(results.n_epochs, dtype=np.int32)
+            codes_out[li:hi] = np.asarray(results.return_codes, dtype=np.int32)
+            for gi in range(G):
+                dev_out[li + gi] = float(
+                    dataset_deviance(jnp.asarray(w_grp[gi], dtype), jnp.asarray(b_grp[gi], dtype))
+                )
+            active_hist.append(int(active.sum()))
+            kkt_rounds_hist.append(kkt_round)
+            w_full = w_grp[-1]
+            intercept = b_grp[-1]
         li = hi
 
     stats = {
