@@ -1012,37 +1012,64 @@ def fit(
             # chunked path: same warm-started semantics, one dispatch per
             # `lambda_chunk` lambdas; each chunk's results are read back
             # eagerly so a killed dispatch loses only its own chunk.
-            # Per-chunk step backoff: if any lambda in the chunk hits
-            # max_iter (return code 1), refit the chunk from its pre-chunk
-            # state with gammas halved (up to 2 halvings, sticky for the
-            # rest of the path — measured on the bench workload, the
-            # expected-smoothness step oscillates mid-path where the active
-            # set densifies, and gamma/2 converges in a fraction of the
-            # epochs the oscillation burned).  All attempts count toward
-            # npasses; unresolved chunks keep their honest code-1.
+            # Per-chunk step backoff, try-and-keep-the-better: a chunk with
+            # a suspicious exit (code 1 AND final relative change far above
+            # tol — the expected-smoothness step measurably OSCILLATES
+            # mid-path where the active set densifies) is refit from its
+            # pre-chunk state with gammas halved; the retry is kept only if
+            # it actually does better (fewer non-converged lambdas, then
+            # lower deviance).  Slow-but-monotone code-1 fits therefore keep
+            # their original trajectory (halving gamma would make them
+            # strictly worse), while a genuine oscillation is replaced by a
+            # convergent fit (the halving then sticks for deeper lambdas).
+            # All attempts count toward npasses.
             gam_d, l1_d, l2_d, thr_d, _key, _st, _fam, _pen, _cfg = path_args
             state = _st
             n_iter = 0
             _parts = []
             _bk = 0  # halvings applied so far
+
+            def _run_chunk(_sl, _lo, _state_in, _gmul, _try):
+                st_, it_, res_ = fit_path(
+                    x, y_proc, weights, xc,
+                    gam_d[_sl] * _gmul, l1_d[_sl], l2_d[_sl], thr_d,
+                    jax.random.fold_in(_key, _lo + 1000 * _try), _state_in,
+                    _fam, _pen, _cfg,
+                    offs=offs_dev, pf=pf_dev, box=box,
+                )
+                it_, res_ = jax.device_get((it_, res_))
+                return st_, int(it_), res_
+
+            def _suspicious(res_):
+                return bool(np.any(
+                    (np.asarray(res_.return_codes) == 1)
+                    & (np.asarray(res_.final_change) > 10.0 * float(thresh))
+                ))
+
+            def _better(a, b):
+                ca = int((np.asarray(a.return_codes) == 1).sum())
+                cb = int((np.asarray(b.return_codes) == 1).sum())
+                if ca != cb:
+                    return ca < cb
+                return float(np.asarray(a.deviance).sum()) < float(np.asarray(b.deviance).sum())
+
             for _lo in range(0, len(l1s), lambda_chunk):
                 _sl = slice(_lo, _lo + lambda_chunk)
                 _state_in = state
-                for _try in range(3):
-                    state, _it, _res = fit_path(
-                        x, y_proc, weights, xc,
-                        gam_d[_sl] * (0.5 ** _bk), l1_d[_sl], l2_d[_sl], thr_d,
-                        jax.random.fold_in(_key, _lo + 1000 * _try), _state_in,
-                        _fam, _pen, _cfg,
-                        offs=offs_dev, pf=pf_dev, box=box,
-                    )
-                    _it, _res = jax.device_get((_it, _res))
-                    n_iter += int(_it)
-                    if not (np.asarray(_res.return_codes) == 1).any() or _try == 2:
+                state, _it, _res = _run_chunk(_sl, _lo, _state_in, 0.5 ** _bk, 0)
+                n_iter += _it
+                for _try in (1, 2):
+                    if not _suspicious(_res):
                         break
-                    _bk += 1
-                    _trace(f"lambda chunk {_lo}: non-converged; gamma backoff x0.5^{_bk}")
-                _trace(f"lambda chunk {_lo} done ({int(_it)} epochs, backoff {_bk})")
+                    st2, it2, res2 = _run_chunk(_sl, _lo, _state_in, 0.5 ** (_bk + 1), _try)
+                    n_iter += it2
+                    if _better(res2, _res):
+                        state, _res = st2, res2
+                        _bk += 1  # sticky only when the smaller step won
+                        _trace(f"lambda chunk {_lo}: oscillation; gamma backoff x0.5^{_bk} kept")
+                    else:
+                        break  # slow-but-stable: keep the original trajectory
+                _trace(f"lambda chunk {_lo} done (backoff {_bk})")
                 _parts.append(_res)
             from sgdnet_tpu.solver.saga import PathResults
 

@@ -183,6 +183,7 @@ def fit_path_sharded(
             return_codes=P(None),
             losses=P(None, None),
             clamp_gap=P(None),
+            final_change=P(None),
         ),
     )
 

@@ -519,6 +519,11 @@ class PathResults(NamedTuple):
     return_codes: jnp.ndarray  # (n_lambda,) int32: 0 converged, 1 hit max_iter
     losses: jnp.ndarray  # (n_lambda, max_iter) epoch losses (debug; else (n_lambda, 0))
     clamp_gap: jnp.ndarray  # (n_lambda,) exact-vs-solver loss gap (poisson clamp; else 0)
+    #: relative change max|dw|/max|w| at the LAST epoch — discriminates a
+    #: code-1 exit that was converging slowly (final_change barely above
+    #: tol) from one that was oscillating (orders of magnitude above); the
+    #: chunked-path/screening step backoff keys on this
+    final_change: jnp.ndarray  # (n_lambda,)
 
 
 @partial(jax.jit, static_argnames=("family", "penalty", "config"))
@@ -589,11 +594,11 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
         losses0 = jnp.full((max_iter if config.debug else 0,), jnp.nan, dtype=state.w.dtype)
 
         def cond(carry):
-            _, _, it, done, _ = carry
+            _, _, it, done, _, _ = carry
             return jnp.logical_not(done) & (it < max_iter)
 
         def body(carry):
-            state, w_prev, it, _, losses = carry
+            state, w_prev, it, _, losses, _ = carry
             ekey = jax.random.fold_in(lam_key, it)
             state = epoch_fn(state, ekey, gamma, l1, l2, it=it)
             max_change = jnp.max(jnp.abs(state.w - w_prev))
@@ -601,14 +606,20 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
             all_zero = (max_size == 0.0) & (max_change == 0.0)
             no_change = (max_size != 0.0) & (max_change <= tol * max_size)
             done = all_zero | no_change
+            rel = jnp.where(
+                max_size > 0.0, max_change / jnp.maximum(max_size, 1e-30), 0.0
+            )
             if config.debug:
                 loss = _dataset_loss(x, y, weights, xc, state.w, state.intercept, family, config, offs=offs) / w_total
                 losses = losses.at[it].set(loss)
-            return (state, state.w, it + 1, done, losses)
+            return (state, state.w, it + 1, done, losses, rel)
 
-        init = (state, state.w, jnp.int32(0), jnp.asarray(False), losses0)
-        state, _, it, _, losses = jax.lax.while_loop(cond, body, init)
-        return state, it, losses
+        init = (
+            state, state.w, jnp.int32(0), jnp.asarray(False), losses0,
+            jnp.zeros((), state.w.dtype),
+        )
+        state, _, it, _, losses, rel = jax.lax.while_loop(cond, body, init)
+        return state, it, losses, rel
 
     # poisson: the exact reporting loss differs from the clamped solver loss
     # wherever the smoothness clamp is active — surface the gap per lambda so
@@ -619,7 +630,7 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
         state, n_iter = carry
         gamma, l1, l2, i = xs
         lam_key = jax.random.fold_in(key, i)
-        state, it, losses = fit_one(state, gamma, l1, l2, lam_key)
+        state, it, losses, rel = fit_one(state, gamma, l1, l2, lam_key)
         s_real = unpad(state)  # identity unless the epoch kernel's padded layout is in play
         dev = 2.0 * _dataset_loss(x, y, weights, xc, s_real.w, s_real.intercept, family, config, offs=offs)
         if track_clamp_gap:
@@ -629,7 +640,7 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
             gap = dev - dev_clamped
         else:
             gap = jnp.zeros((), s_real.w.dtype)
-        out = (s_real.w, s_real.intercept, dev, it, jnp.where(it >= max_iter, 1, 0).astype(jnp.int32), losses, gap)
+        out = (s_real.w, s_real.intercept, dev, it, jnp.where(it >= max_iter, 1, 0).astype(jnp.int32), losses, gap, rel)
         return (state, n_iter + it), out
 
     n_lambda = gammas.shape[0]

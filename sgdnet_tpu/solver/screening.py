@@ -266,6 +266,51 @@ def screened_path(
         full_elems = n_pad * p
     full_groups = 0
 
+    # step backoff, sticky along the path — the same try-and-keep-the-better
+    # policy as fit()'s chunked path (see there for the rationale and the
+    # measured 0.22-relative-error failure this prevents)
+    _bk = 0
+    _tol_f = float(np.asarray(tol))
+
+    def _fit_backoff(run_one, count_work):
+        nonlocal _bk, total_epochs, work_elems
+
+        def _account(out):
+            n_it = int(out[1])
+            total_epochs += n_it
+            work_elems += n_it * count_work
+
+        def _suspicious(out):
+            return bool(np.any(
+                (np.asarray(out[2].return_codes) == 1)
+                & (np.asarray(out[2].final_change) > 10.0 * _tol_f)
+            ))
+
+        def _better(a, b):
+            """a strictly better than b: fewer non-converged lambdas, then
+            lower total deviance."""
+            ca = int((np.asarray(a[2].return_codes) == 1).sum())
+            cb = int((np.asarray(b[2].return_codes) == 1).sum())
+            if ca != cb:
+                return ca < cb
+            return float(np.asarray(a[2].deviance).sum()) < float(
+                np.asarray(b[2].deviance).sum()
+            )
+
+        best = run_one(0.5 ** _bk, 0)
+        _account(best)
+        for _try in (1, 2):
+            if not _suspicious(best):
+                break
+            cand = run_one(0.5 ** (_bk + 1), _try)
+            _account(cand)
+            if _better(cand, best):
+                best = cand
+                _bk += 1  # sticky only when the smaller step actually won
+            else:
+                break  # slow-but-stable fit: keep the original trajectory
+        return best
+
     li = 0
     while li < nl:
         hi = min(li + group_size, nl)
@@ -308,29 +353,31 @@ def screened_path(
         # groups (it won't shrink along a path, but refits with custom
         # lambda orders can).
         def fit_group_full(active_count):
-            nonlocal total_epochs, work_elems, w_full, intercept, g_mem, full_groups
+            nonlocal w_full, intercept, g_mem, full_groups
             from sgdnet_tpu.solver.saga import _refresh_g_sum
 
-            state = SagaState(
+            state0 = SagaState(
                 w=jnp.asarray(w_full, dtype),
                 intercept=b_dev,
                 g_mem=g_mem,
                 g_sum=jnp.zeros((k, p), dtype),
                 g_sum_intercept=jnp.zeros((k,), dtype),
             )
-            state = _refresh_g_sum(x, xc, weights, jnp.asarray(w_total, dtype), state, config)
-            state, n_it, results = fit_path(
-                x, y, weights, xc,
-                jnp.asarray(gammas_np[li:hi], dtype),
-                jnp.asarray(l1s_np[li:hi], dtype),
-                jnp.asarray(l2s_np[li:hi], dtype),
-                jnp.asarray(tol, dtype),
-                jax.random.fold_in(key, li * 7),
-                state, family, penalty, config,
-                offs=offs, pf=pf, box=box,
-            )
-            total_epochs += int(n_it)
-            work_elems += int(n_it) * int(full_elems)
+            state0 = _refresh_g_sum(x, xc, weights, jnp.asarray(w_total, dtype), state0, config)
+
+            def run_one(gmul, _try):
+                return fit_path(
+                    x, y, weights, xc,
+                    jnp.asarray(gammas_np[li:hi] * gmul, dtype),
+                    jnp.asarray(l1s_np[li:hi], dtype),
+                    jnp.asarray(l2s_np[li:hi], dtype),
+                    jnp.asarray(tol, dtype),
+                    jax.random.fold_in(key, li * 7 + 1000 * _try),
+                    state0, family, penalty, config,
+                    offs=offs, pf=pf, box=box,
+                )
+
+            state, n_it, results = _fit_backoff(run_one, int(full_elems))
             w_grp = np.asarray(results.w, dtype=np.float64)
             b_grp = np.asarray(results.intercept, dtype=np.float64)
             g_mem = state.g_mem
@@ -390,38 +437,31 @@ def screened_path(
                 box_sub = (jnp.asarray(lo, dtype), jnp.asarray(hi_b, dtype))
             # gradient average on the active set: one matvec
             g_sum_sub = jnp.dot(g_mem.T, x_sub, preferred_element_type=dtype) / w_total
-            state = SagaState(
+            state0 = SagaState(
                 w=w_sub,
                 intercept=b_dev,
                 g_mem=g_mem,
                 g_sum=g_sum_sub,
                 g_sum_intercept=jnp.sum(g_mem, axis=0) / w_total,
             )
-            lam_key = jax.random.fold_in(key, li * 7 + kkt_round)
-            state, n_it, results = fit_path(
-                x_sub,
-                y,
-                weights,
-                None,
-                jnp.asarray(gammas_np[li:hi], dtype),
-                jnp.asarray(l1s_np[li:hi], dtype),
-                jnp.asarray(l2s_np[li:hi], dtype),
-                jnp.asarray(tol, dtype),
-                lam_key,
-                state,
-                family,
-                penalty,
-                config,
-                offs=offs,
-                pf=pf_sub,
-                box=box_sub,
-            )
-            total_epochs += int(n_it)
-            # the solver ran its epochs on the DENSE (n_pad, K) active-set
-            # subset, not the full design — count the elements it actually
-            # streamed (including bucket padding), so throughput reported
-            # from this counter measures work done, not coverage
-            work_elems += int(n_it) * n_pad * K
+
+            def run_one(gmul, _try, _x_sub=x_sub, _st=state0, _pf=pf_sub, _bx=box_sub,
+                        _kr=kkt_round):
+                return fit_path(
+                    _x_sub, y, weights, None,
+                    jnp.asarray(gammas_np[li:hi] * gmul, dtype),
+                    jnp.asarray(l1s_np[li:hi], dtype),
+                    jnp.asarray(l2s_np[li:hi], dtype),
+                    jnp.asarray(tol, dtype),
+                    jax.random.fold_in(key, li * 7 + _kr + 1000 * _try),
+                    _st, family, penalty, config,
+                    offs=offs, pf=_pf, box=_bx,
+                )
+
+            # work counter: the solver streamed the DENSE (n_pad, K) subset
+            # (including bucket padding), not the full design — work done,
+            # not coverage
+            state, n_it, results = _fit_backoff(run_one, n_pad * K)
             # scatter each group solution back to full width
             w_grp_sub = np.asarray(results.w, dtype=np.float64)  # (G, k, K)
             w_grp = np.zeros((G, k, p))

@@ -128,9 +128,10 @@ def test_lambda_chunked_path_matches_single_dispatch():
 
 
 def test_lambda_chunk_backoff_mechanics():
-    """With maxit=1 every lambda reports code 1, so each chunk exhausts its
-    3 attempts (backoff sticky across chunks) and npasses counts every
-    attempted epoch; final return codes stay an honest 1."""
+    """With maxit=1 every lambda reports code 1 with a large final change,
+    so each chunk triggers at least one try-and-keep-the-better retry;
+    npasses counts every attempted epoch and the final return codes stay
+    an honest 1."""
     import numpy as np
 
     import sgdnet_tpu as st
@@ -139,8 +140,8 @@ def test_lambda_chunk_backoff_mechanics():
     x, y = random_data(n=64, p=6, seed=3)
     f = st.fit(x, y, nlambda=4, maxit=1, lambda_chunk=2, thresh=1e-12,
                dtype=np.float64)
-    # 2 chunks x 3 attempts x 2 lambdas x 1 epoch
-    assert f.npasses == 12
+    # 2 chunks x (first attempt + 1-2 retries) x 2 lambdas x 1 epoch
+    assert 8 <= f.npasses <= 12
     assert (f.return_codes == 1).all()
 
 
