@@ -197,7 +197,7 @@ def fit(
     mesh=None,
     use_pallas: bool | None = None,
     use_epoch_kernel: bool | None = None,
-    screen: bool = False,
+    screen: bool | str = False,
     hybrid: bool | None = None,
     hybrid_coverage: float = 0.9,
     hybrid_max_head: int = 16384,
@@ -242,6 +242,16 @@ def fit(
     coefficients replicated, one psum per step (see parallel/dist.py).
     `batch_size` is then the per-device batch; the global batch is
     batch_size * n_devices.
+
+    `screen` selects strong-rule screening of the lambda path (a rebuild
+    extension; the reference always touches all p features): False (default)
+    never screens, True always runs the screened driver (per-group
+    dense-regime fallback), and "auto" screens while the path is in the
+    measured sparse regime, then switches to one warm-started full-layout
+    fit the moment the strong rule keeps more than the break-even fraction
+    of features — `fit.stats["screening"]["full_tail_from"]` records the
+    switch.  "auto" silently runs unscreened where screening does not apply
+    (mesh, alpha == 0, debug).
 
     `lambda_chunk` splits the path program into warm-started chunks of that
     many lambdas, one compiled dispatch per chunk (ingestion still happens
@@ -975,6 +985,17 @@ def fit(
         penalty,
         config,
     )
+    if screen not in (False, True, "auto"):
+        raise ValueError(f"screen must be False, True, or 'auto'; got {screen!r}")
+    if screen == "auto":
+        # regime-aware screening (round 5): screened groups while the strong
+        # rule keeps the active set sparse, then ONE warm-started full-layout
+        # fit for the rest of the path the moment the dense-regime boundary
+        # (full_fallback_frac, the measured break-even) is crossed — the
+        # sparse-regime 1.48x win without the user knowing the regime.
+        # Ineligible configurations (mesh / ridge / debug) silently run the
+        # normal unscreened schedule: "auto" chooses, it never errors.
+        screen = "auto" if (mesh is None and alpha > 0.0 and not debug) else False
     if screen:
         # sequential strong-rule screening with KKT safety checks
         # (solver/screening.py) — single-device, l1 > 0 paths; all layouts,
@@ -992,6 +1013,7 @@ def fit(
             x, y_proc, weights, gammas, l1s, l2s, thresh, key, fam, penalty, config,
             xc=xc, pf=pf_dev, box=box, always_inactive=excl_mask,
             offs=offs_dev, intercept0=b0_offs if offs_dev is not None else None,
+            auto_full_tail=(screen == "auto"),
         )
         state = None
         results = SimpleNamespace(

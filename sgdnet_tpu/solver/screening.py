@@ -179,10 +179,21 @@ def screened_path(
     max_kkt_rounds: int = 3,
     full_fallback_frac: float = 0.35,
     subset_mem_budget: float = 8e9,
+    auto_full_tail: bool = False,
 ):
     """Strong-rule screened warm-started path.  Returns (w_path (nl, k, p),
     intercept_path (nl, k), deviance (nl,), n_epochs (nl,), return_codes,
-    total_epochs, stats dict)."""
+    total_epochs, stats dict).
+
+    `auto_full_tail` implements the screen="auto" regime policy (round 5):
+    active sets only grow along a decreasing lambda path, so the FIRST
+    group that trips the dense-regime fallback marks the point past which
+    screening stops paying for good.  Instead of falling back group by
+    group (one dispatch + one full-data score pass per group — the measured
+    0.50x dense-regime loss, RESULTS.md), the remainder of the path runs as
+    ONE warm-started full-layout fit_path call, i.e. exactly the
+    screen=False schedule.  stats["full_tail_from"] records the switch
+    index (None if the whole path stayed screened)."""
     n_pad = x.shape[0]
     p = x.shape[1]
     k = family.n_classes
@@ -271,11 +282,13 @@ def screened_path(
     # measured 0.22-relative-error failure this prevents)
     _bk = 0
     _tol_f = float(np.asarray(tol))
+    full_tail_from = None  # lambda index where auto_full_tail switched, if it did
 
     def _fit_backoff(run_one, count_work):
         nonlocal _bk, total_epochs, work_elems
 
         def _account(out):
+            nonlocal total_epochs, work_elems
             n_it = int(out[1])
             total_epochs += n_it
             work_elems += n_it * count_work
@@ -394,6 +407,11 @@ def screened_path(
 
         K_limit = max(256, int(subset_mem_budget // (16 * n_pad)))
         if active.sum() > full_fallback_frac * p or _bucket(max(int(active.sum()), 1)) > K_limit:
+            if auto_full_tail:
+                # regime switch: run every remaining lambda as one
+                # warm-started full-layout fit (the screen=False schedule)
+                full_tail_from = li
+                hi = nl
             fit_group_full(int(active.sum()))
             li = hi
             continue
@@ -414,6 +432,9 @@ def screened_path(
                 # KKT expansion outgrew the subset budget mid-group: finish
                 # the group on the full native layout (exact, and bounded
                 # memory — the old dense-everything fallback OOMed here)
+                if auto_full_tail:
+                    full_tail_from = li
+                    hi = nl
                 fit_group_full(len(idx))
                 _went_full = True
                 break
@@ -525,5 +546,8 @@ def screened_path(
         # lambda groups fit on the FULL native layout because the strong
         # rule kept > full_fallback_frac of the features (dense path tail)
         "full_fallback_groups": full_groups,
+        # screen="auto": lambda index where the remaining path switched to
+        # one full-layout fit (None = the whole path stayed screened)
+        "full_tail_from": full_tail_from,
     }
     return w_out, b_out, dev_out, iters_out, codes_out, total_epochs, stats

@@ -219,3 +219,68 @@ def test_screening_full_fallback_dense_tail():
     assert st_stats["work_elems"] > 0
     scale = max(1.0, np.abs(full.beta).max())
     np.testing.assert_allclose(scr.beta, full.beta, atol=2e-3 * scale)
+
+
+def test_screen_auto_sparse_regime():
+    """screen='auto' on a wide sparse-regime problem: stays screened (no
+    full-tail switch) and matches the unscreened fit exactly."""
+    rng = np.random.default_rng(21)
+    n, p = 200, 400
+    x = rng.normal(size=(n, p))
+    beta = np.zeros(p)
+    beta[:8] = rng.normal(size=8) * 2
+    y = x @ beta + 0.5 * rng.normal(size=n)
+
+    full = st.fit(
+        x, y, nlambda=12, lambda_min_ratio=0.05, thresh=1e-6, maxit=2000, dtype=np.float64
+    )
+    auto = st.fit(
+        x, y, lambda_path=full.lambda_, thresh=1e-6, maxit=2000, dtype=np.float64,
+        screen="auto",
+    )
+    scale = max(1.0, np.abs(full.beta).max())
+    np.testing.assert_allclose(auto.beta, full.beta, atol=2e-3 * scale)
+    scr = auto.stats["screening"]
+    assert scr["full_tail_from"] is None
+    assert scr["mean_active"] < 0.35 * p
+
+
+def test_screen_auto_dense_regime_switches_to_full_tail():
+    """screen='auto' on a path that densifies: the first group past the
+    break-even runs the REST of the path as one full-layout fit (the
+    screen=False schedule) — and the result still matches unscreened."""
+    rng = np.random.default_rng(22)
+    n, p = 300, 60  # narrow: the active set quickly becomes most of p
+    x = rng.normal(size=(n, p))
+    beta = rng.normal(size=p)  # every feature matters
+    y = x @ beta + 0.2 * rng.normal(size=n)
+
+    full = st.fit(x, y, nlambda=20, thresh=1e-6, maxit=2000, dtype=np.float64)
+    auto = st.fit(
+        x, y, lambda_path=full.lambda_, thresh=1e-6, maxit=2000, dtype=np.float64,
+        screen="auto",
+    )
+    scale = max(1.0, np.abs(full.beta).max())
+    np.testing.assert_allclose(auto.beta, full.beta, atol=2e-3 * scale)
+    scr = auto.stats["screening"]
+    assert scr["full_tail_from"] is not None
+    # one full-layout call covered the whole tail: exactly one fallback group
+    assert scr["full_fallback_groups"] == 1
+    # per-lambda outputs exist for every lambda past the switch
+    assert auto.return_codes.shape == full.return_codes.shape
+
+
+def test_screen_auto_ineligible_runs_unscreened():
+    """'auto' never errors: ridge (alpha=0) and debug fits silently run the
+    normal unscreened schedule with no screening stats."""
+    x, y = random_data(n=60, p=12, seed=23)
+    fit = st.fit(x, y, alpha=0.0, screen="auto", nlambda=5, dtype=np.float64)
+    assert "screening" not in fit.stats
+    fit_dbg = st.fit(x, y, screen="auto", debug=True, nlambda=5, dtype=np.float64)
+    assert "screening" not in fit_dbg.stats
+
+
+def test_screen_rejects_bad_value():
+    x, y = random_data(n=50, p=10, seed=2)
+    with pytest.raises(ValueError, match="screen must be"):
+        st.fit(x, y, screen="always", dtype=np.float64)
