@@ -116,6 +116,15 @@ class SolverConfig:
     #: optimization barrier between steps (debug/experiment knob: prevents
     #: any cross-step fusion; measured neutral on TPU)
     step_barrier: bool = False
+    #: in-program oscillation recovery: a lambda that hits max_iter with a
+    #: final relative change far above tol (the expected-smoothness step
+    #: measurably oscillates where the active set densifies mid-path —
+    #: tools/probe_gamma_depth.py) is retried once from the same warm-start
+    #: state with the step halved; the retry is kept only if it does better,
+    #: and a winning halving sticks for deeper lambdas.  Runs inside the
+    #: jitted path program, so the DEFAULT single-dispatch path recovers
+    #: without any user-visible knob
+    step_backoff: bool = True
     #: run whole epochs as one Pallas kernel with the dataset VMEM-resident
     #: (solver/epoch_kernel.py) — the small-problem latency path.  fit()
     #: gates this on dense f32 inputs, block sampling, k <= 8, no
@@ -603,11 +612,29 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
             state = epoch_fn(state, ekey, gamma, l1, l2, it=it)
             max_change = jnp.max(jnp.abs(state.w - w_prev))
             max_size = jnp.max(jnp.abs(state.w))
+            # divergence guard: once w or the intercept goes non-finite the
+            # naive check would pass (inf <= tol * inf is True) and report a
+            # CONVERGED code on garbage — measured on an inflated-step CPU
+            # repro (tests/test_backoff.py).  A non-finite epoch is terminal
+            # (inf/nan cannot recover through the prox), so exit, report
+            # final_change = +inf, and let fit_one clamp it to max_iter so
+            # the lambda lands as code 1 for the caller and the step-backoff
+            # detector.
+            b_arr = (
+                state.intercept if hasattr(state, "intercept") else state.ivec[0]
+            )  # epoch-kernel _PadState carries the intercept in ivec row 0
+            finite = (
+                jnp.isfinite(max_size)
+                & jnp.isfinite(max_change)
+                & jnp.all(jnp.isfinite(b_arr))
+            )
             all_zero = (max_size == 0.0) & (max_change == 0.0)
-            no_change = (max_size != 0.0) & (max_change <= tol * max_size)
-            done = all_zero | no_change
+            no_change = finite & (max_size != 0.0) & (max_change <= tol * max_size)
+            done = all_zero | no_change | jnp.logical_not(finite)
             rel = jnp.where(
-                max_size > 0.0, max_change / jnp.maximum(max_size, 1e-30), 0.0
+                finite & (max_size > 0.0),
+                max_change / jnp.maximum(max_size, 1e-30),
+                jnp.where(finite, 0.0, jnp.inf),
             )
             if config.debug:
                 loss = _dataset_loss(x, y, weights, xc, state.w, state.intercept, family, config, offs=offs) / w_total
@@ -619,6 +646,8 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
             jnp.zeros((), state.w.dtype),
         )
         state, _, it, _, losses, rel = jax.lax.while_loop(cond, body, init)
+        # a divergence exit (rel = inf) must read as NOT converged
+        it = jnp.where(jnp.isinf(rel), jnp.int32(max_iter), it)
         return state, it, losses, rel
 
     # poisson: the exact reporting loss differs from the clamped solver loss
@@ -626,26 +655,102 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
     # fit() can warn when the clamp touched the reported solution
     track_clamp_gap = family.loss_report.__func__ is not Family.loss_report
 
+    def _dev(st, report=True):
+        s = unpad(st)  # identity unless the epoch kernel's padded layout is in play
+        return 2.0 * _dataset_loss(
+            x, y, weights, xc, s.w, s.intercept, family, config, offs=offs, report=report
+        )
+
+    def fit_one_robust(state_in, gamma, l1, l2, lam_key, bk):
+        """fit_one with in-program oscillation recovery (config.step_backoff).
+
+        A suspicious exit — hit max_iter AND final relative change far above
+        tol (or non-finite: divergence reports final_change = inf), the
+        signature of a step-size oscillation rather than slow convergence —
+        is retried up to twice from the same warm-start state with the step
+        successively halved.  A retry is kept only if it actually does better
+        (converged, or lower deviance at equal return code), so a
+        slow-but-monotone code-1 fit keeps its original trajectory; a
+        winning halving sticks for deeper lambdas via the returned `bk`.
+        Implemented as a while_loop over attempts so the epoch program is
+        traced exactly once.  All attempts count toward npasses.
+        """
+        losses0 = jnp.full((max_iter if config.debug else 0,), jnp.nan, dtype=state_in.w.dtype)
+        dt = state_in.w.dtype
+
+        def acond(c):
+            attempt, stop = c[0], c[1]
+            return jnp.logical_not(stop) & (attempt < 3)
+
+        def abody(c):
+            attempt, _, b_state, b_it, b_losses, b_rel, b_code, b_dev, bk_out, tot = c
+            gmul = bk * (0.5 ** attempt.astype(dt))
+            akey = jax.random.fold_in(lam_key, attempt)
+            state_new, it_new, losses_new, rel_new = fit_one(state_in, gamma * gmul, l1, l2, akey)
+            code_new = it_new >= max_iter
+            # a diverged attempt (nan deviance) must never win the
+            # comparison — and must not poison the warm-start state for
+            # deeper lambdas: if every attempt diverges, the best stays the
+            # (finite) input state with an honest code-1 report
+            dev_new = _dev(state_new)
+            dev_new = jnp.where(jnp.isfinite(dev_new), dev_new, jnp.asarray(jnp.inf, dt))
+            better = (jnp.logical_not(code_new) & b_code) | (
+                (code_new == b_code) & (dev_new < b_dev)
+            )
+            pick = lambda a, b: jax.tree_util.tree_map(
+                lambda u, v: jnp.where(better, u, v), a, b
+            )
+            b_state = pick(state_new, b_state)
+            b_it = jnp.where(better, it_new, b_it)
+            b_losses = jnp.where(better, losses_new, b_losses)
+            b_rel = jnp.where(better, rel_new, b_rel)
+            b_code = jnp.where(better, code_new, b_code)
+            b_dev = jnp.where(better, dev_new, b_dev)
+            bk_out = jnp.where((attempt > 0) & better, gmul, bk_out)
+            suspicious = code_new & (rel_new > 10.0 * tol)
+            return (
+                attempt + 1, jnp.logical_not(suspicious), b_state, b_it,
+                b_losses, b_rel, b_code, b_dev, bk_out, tot + it_new,
+            )
+
+        # the initial "best" is the untouched input state at dev=inf: any
+        # finite attempt beats it, and if every attempt diverges the path
+        # continues from the finite warm start with it=max_iter (code 1)
+        init = (
+            jnp.int32(0), jnp.asarray(False), state_in, jnp.int32(max_iter), losses0,
+            jnp.asarray(jnp.inf, dt), jnp.asarray(True), jnp.asarray(jnp.inf, dt), bk,
+            jnp.int32(0),
+        )
+        c = jax.lax.while_loop(acond, abody, init)
+        _, _, b_state, b_it, b_losses, b_rel, b_code, b_dev, bk_out, tot = c
+        return b_state, b_it, b_losses, b_rel, b_code, b_dev, bk_out, tot
+
     def scan_body(carry, xs):
-        state, n_iter = carry
+        state, n_iter, bk = carry
         gamma, l1, l2, i = xs
         lam_key = jax.random.fold_in(key, i)
-        state, it, losses, rel = fit_one(state, gamma, l1, l2, lam_key)
-        s_real = unpad(state)  # identity unless the epoch kernel's padded layout is in play
-        dev = 2.0 * _dataset_loss(x, y, weights, xc, s_real.w, s_real.intercept, family, config, offs=offs)
-        if track_clamp_gap:
-            dev_clamped = 2.0 * _dataset_loss(
-                x, y, weights, xc, s_real.w, s_real.intercept, family, config, offs=offs, report=False
+        if config.step_backoff:
+            state, it, losses, rel, code, dev, bk, att_it = fit_one_robust(
+                state, gamma, l1, l2, lam_key, bk
             )
-            gap = dev - dev_clamped
+        else:
+            state, it, losses, rel = fit_one(state, gamma, l1, l2, lam_key)
+            code = it >= max_iter
+            dev = _dev(state)
+            att_it = it
+        s_real = unpad(state)
+        if track_clamp_gap:
+            gap = dev - _dev(state, report=False)
         else:
             gap = jnp.zeros((), s_real.w.dtype)
-        out = (s_real.w, s_real.intercept, dev, it, jnp.where(it >= max_iter, 1, 0).astype(jnp.int32), losses, gap, rel)
-        return (state, n_iter + it), out
+        out = (s_real.w, s_real.intercept, dev, it, code.astype(jnp.int32), losses, gap, rel)
+        return (state, n_iter + att_it, bk), out
 
     n_lambda = gammas.shape[0]
-    (state, n_iter), outs = jax.lax.scan(
-        scan_body, (state0, jnp.int32(0)), (gammas, l1s, l2s, jnp.arange(n_lambda))
+    (state, n_iter, _), outs = jax.lax.scan(
+        scan_body,
+        (state0, jnp.int32(0), jnp.ones((), gammas.dtype)),
+        (gammas, l1s, l2s, jnp.arange(n_lambda)),
     )
     results = PathResults(*outs)
     return unpad(state), n_iter, results
