@@ -1014,6 +1014,7 @@ def fit(
             xc=xc, pf=pf_dev, box=box, always_inactive=excl_mask,
             offs=offs_dev, intercept0=b0_offs if offs_dev is not None else None,
             auto_full_tail=(screen == "auto"),
+            full_tail_chunk=lambda_chunk,
         )
         state = None
         results = SimpleNamespace(

@@ -180,6 +180,7 @@ def screened_path(
     full_fallback_frac: float = 0.35,
     subset_mem_budget: float = 8e9,
     auto_full_tail: bool = False,
+    full_tail_chunk: int | None = None,
 ):
     """Strong-rule screened warm-started path.  Returns (w_path (nl, k, p),
     intercept_path (nl, k), deviance (nl,), n_epochs (nl,), return_codes,
@@ -193,7 +194,10 @@ def screened_path(
     0.50x dense-regime loss, RESULTS.md), the remainder of the path runs as
     ONE warm-started full-layout fit_path call, i.e. exactly the
     screen=False schedule.  stats["full_tail_from"] records the switch
-    index (None if the whole path stayed screened)."""
+    index (None if the whole path stayed screened).  `full_tail_chunk`
+    splits that tail into warm-started chunks of the given number of
+    lambdas, one dispatch each — the same relay-survival knob as fit()'s
+    `lambda_chunk`, which fit() forwards here."""
     n_pad = x.shape[0]
     p = x.shape[1]
     k = family.n_classes
@@ -283,6 +287,7 @@ def screened_path(
     _bk = 0
     _tol_f = float(np.asarray(tol))
     full_tail_from = None  # lambda index where auto_full_tail switched, if it did
+    in_full_tail = False
 
     def _fit_backoff(run_one, count_work):
         nonlocal _bk, total_epochs, work_elems
@@ -330,30 +335,6 @@ def screened_path(
         G = hi - li
         w_dev = jnp.asarray(w_full, dtype)
         b_dev = jnp.asarray(intercept, dtype)
-        scores = np.asarray(gradient_scores(w_dev, b_dev))
-
-        # union of the per-lambda sequential strong rules over the group:
-        # active if score >= pf * (2*l1_g - l1_{g-1}) for ANY lambda in the
-        # group, i.e. score >= pf * min_g(2*l1_g - l1_{g-1}).  (The naive
-        # group rule 2*l1_last - l1_prev goes NEGATIVE once the group spans
-        # a lambda ratio > 2x and screens nothing.)  For g > li this uses
-        # scores measured at the last fitted solution rather than at
-        # lambda_{g-1}'s — a heuristic, but the batched KKT check below
-        # keeps the result exact either way.  The lambda-max proxy at the
-        # path start considers only penalized features (pf > 0), like the
-        # lambda-path construction itself.
-        if li > 0:
-            l1_prev = l1s_np[li - 1]
-        else:
-            pen = (pf_np > 0) & ~excl_np
-            l1_prev = float(np.max(scores[pen] / pf_np[pen])) if pen.any() else 0.0
-        prevs = np.concatenate([[l1_prev], l1s_np[li : hi - 1]])
-        threshold = float(np.min(2.0 * l1s_np[li:hi] - prevs))
-        active = (
-            (scores >= pf_np * threshold)
-            | (np.abs(w_full).sum(axis=0) > 0)
-            | (pf_np == 0)
-        ) & ~excl_np
 
         # Dense-regime fallback (round 4, measured on the bench workload):
         # once the strong rule keeps more than `full_fallback_frac` of the
@@ -364,7 +345,8 @@ def screened_path(
         # exact by construction (every feature present, KKT vacuous), still
         # warm-started, and the active-set machinery resumes for later
         # groups (it won't shrink along a path, but refits with custom
-        # lambda orders can).
+        # lambda orders can).  Defined before the scores pass so the
+        # auto_full_tail fast path below can skip that pass entirely.
         def fit_group_full(active_count):
             nonlocal w_full, intercept, g_mem, full_groups
             from sgdnet_tpu.solver.saga import _refresh_g_sum
@@ -405,13 +387,48 @@ def screened_path(
             w_full = w_grp[-1]
             intercept = b_grp[-1]
 
+        if in_full_tail:
+            # screen="auto" past the regime switch: pure full-layout
+            # warm-started chunks, no scores pass, no strong rule
+            hi = min(li + (full_tail_chunk or (nl - li)), nl)
+            fit_group_full(p)
+            li = hi
+            continue
+
+        scores = np.asarray(gradient_scores(w_dev, b_dev))
+
+        # union of the per-lambda sequential strong rules over the group:
+        # active if score >= pf * (2*l1_g - l1_{g-1}) for ANY lambda in the
+        # group, i.e. score >= pf * min_g(2*l1_g - l1_{g-1}).  (The naive
+        # group rule 2*l1_last - l1_prev goes NEGATIVE once the group spans
+        # a lambda ratio > 2x and screens nothing.)  For g > li this uses
+        # scores measured at the last fitted solution rather than at
+        # lambda_{g-1}'s — a heuristic, but the batched KKT check below
+        # keeps the result exact either way.  The lambda-max proxy at the
+        # path start considers only penalized features (pf > 0), like the
+        # lambda-path construction itself.
+        if li > 0:
+            l1_prev = l1s_np[li - 1]
+        else:
+            pen = (pf_np > 0) & ~excl_np
+            l1_prev = float(np.max(scores[pen] / pf_np[pen])) if pen.any() else 0.0
+        prevs = np.concatenate([[l1_prev], l1s_np[li : hi - 1]])
+        threshold = float(np.min(2.0 * l1s_np[li:hi] - prevs))
+        active = (
+            (scores >= pf_np * threshold)
+            | (np.abs(w_full).sum(axis=0) > 0)
+            | (pf_np == 0)
+        ) & ~excl_np
+
         K_limit = max(256, int(subset_mem_budget // (16 * n_pad)))
         if active.sum() > full_fallback_frac * p or _bucket(max(int(active.sum()), 1)) > K_limit:
             if auto_full_tail:
-                # regime switch: run every remaining lambda as one
-                # warm-started full-layout fit (the screen=False schedule)
+                # regime switch: run every remaining lambda full-layout
+                # (the screen=False schedule), in warm-started chunks of
+                # full_tail_chunk lambdas (or one dispatch if None)
                 full_tail_from = li
-                hi = nl
+                in_full_tail = True
+                hi = min(li + (full_tail_chunk or (nl - li)), nl)
             fit_group_full(int(active.sum()))
             li = hi
             continue
@@ -434,7 +451,8 @@ def screened_path(
                 # memory — the old dense-everything fallback OOMed here)
                 if auto_full_tail:
                     full_tail_from = li
-                    hi = nl
+                    in_full_tail = True
+                    hi = min(li + (full_tail_chunk or (nl - li)), nl)
                 fit_group_full(len(idx))
                 _went_full = True
                 break

@@ -67,22 +67,26 @@ def run_one(xs, yv, nnz, D, screen_after=True):
                e2e_nnz_s=nnz * ep_full / t_full)
 
     if screen_after:
-        t0 = time.perf_counter()
-        scr = st.fit(xs, yv, screen=True, lambda_path=full.lambda_, **kw)
-        _ = float(np.asarray(scr.beta[-1]).sum())
-        t_scr = time.perf_counter() - t0
-        ep_scr = scr.stats["epochs"]
-        sstats = dict(scr.stats.get("screening", {}))
-        sstats.pop("active_per_group", None)
-        log(f"[D={D}] SCREENED path: {t_scr:.1f}s wall, {ep_scr} epochs, "
-            f"work-based {scr.stats['nnz_per_s']:.3e} elem/s, stats {sstats}")
-        scale = max(np.abs(full.beta).max(), 1.0)
-        diff = np.abs(scr.beta - full.beta).max()
-        log(f"[D={D}] screened vs full: max|diff| {diff:.3e} "
-            f"({diff/scale:.2e} relative; contract 2e-3) -> "
-            f"{t_full/t_scr:.2f}x wall, "
-            f"agreement {'PASS' if diff <= 2e-3*scale else 'FAIL'}")
-        out.update(t_scr=t_scr, ep_scr=ep_scr, scr_diff=float(diff / scale))
+        for mode in (True, "auto"):
+            tag = "SCREENED" if mode is True else "SCREEN=auto"
+            t0 = time.perf_counter()
+            scr = st.fit(xs, yv, screen=mode, lambda_path=full.lambda_, **kw)
+            _ = float(np.asarray(scr.beta[-1]).sum())
+            t_scr = time.perf_counter() - t0
+            ep_scr = scr.stats["epochs"]
+            sstats = dict(scr.stats.get("screening", {}))
+            sstats.pop("active_per_group", None)
+            log(f"[D={D}] {tag} path: {t_scr:.1f}s wall, {ep_scr} epochs, "
+                f"work-based {scr.stats['nnz_per_s']:.3e} elem/s, stats {sstats}")
+            scale = max(np.abs(full.beta).max(), 1.0)
+            diff = np.abs(scr.beta - full.beta).max()
+            log(f"[D={D}] {tag} vs full: max|diff| {diff:.3e} "
+                f"({diff/scale:.2e} relative; contract 2e-3) -> "
+                f"{t_full/t_scr:.2f}x wall, "
+                f"agreement {'PASS' if diff <= 2e-3*scale else 'FAIL'}")
+            key = "scr" if mode is True else "auto"
+            out.update({f"t_{key}": t_scr, f"ep_{key}": ep_scr,
+                        f"{key}_diff": float(diff / scale)})
     return out
 
 
