@@ -37,6 +37,13 @@ class Penalty:
         """Proximal operator of the non-smooth part; w is (k, p)."""
         raise NotImplementedError
 
+    def value(self, w: jnp.ndarray, pf=None):
+        """The non-smooth objective term P1(w) (without its l1 multiplier),
+        with optional (p,) per-feature penalty factors — used by the
+        solver's step-backoff to compare attempts on the PENALIZED
+        objective (deviance alone would prefer under-shrunk iterates)."""
+        raise NotImplementedError
+
 
 class Ridge(Penalty):
     """Pure L2: identity prox (reference src/penalties.h:27-39)."""
@@ -46,6 +53,9 @@ class Ridge(Penalty):
     def prox(self, w, threshold):
         return w
 
+    def value(self, w, pf=None):
+        return jnp.zeros((), w.dtype)
+
 
 class ElasticNet(Penalty):
     """Elementwise soft-thresholding (reference src/penalties.h:41-59)."""
@@ -54,6 +64,12 @@ class ElasticNet(Penalty):
 
     def prox(self, w, threshold):
         return soft_threshold(w, threshold)
+
+    def value(self, w, pf=None):
+        a = jnp.abs(w)
+        if pf is not None:
+            a = a * pf
+        return jnp.sum(a)
 
 
 class GroupLasso(Penalty):
@@ -66,6 +82,12 @@ class GroupLasso(Penalty):
         norms = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))  # (1, p)
         factor = jnp.maximum(1.0 - threshold / jnp.maximum(norms, 1e-300), 0.0)
         return w * factor
+
+    def value(self, w, pf=None):
+        norms = jnp.sqrt(jnp.sum(w * w, axis=0))  # (p,)
+        if pf is not None:
+            norms = norms * pf
+        return jnp.sum(norms)
 
 
 def select_penalty(elasticnet_mix: float, family: str, type_multinomial: str = "ungrouped") -> Penalty:

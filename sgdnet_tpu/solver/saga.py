@@ -661,6 +661,25 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
             x, y, weights, xc, s.w, s.intercept, family, config, offs=offs, report=report
         )
 
+    def _lmean(st):
+        """Weighted mean SOLVER loss at a state (one data pass)."""
+        s = unpad(st)
+        return _dataset_loss(
+            x, y, weights, xc, s.w, s.intercept, family, config, offs=offs, report=False
+        ) / w_total
+
+    def _objective(st, lmean, l1, l2):
+        """Penalized objective: mean loss + l1*P1(w) + l2/2*||w||_pf^2.
+        Attempts MUST be compared on this, not on deviance — a smaller-step
+        under-shrunk iterate can have lower deviance while being farther
+        from the penalized solution (measured: sharded poisson cascade,
+        tests/test_poisson.py::test_sharded_equals_single)."""
+        s = unpad(st)
+        sq = s.w * s.w
+        if pf is not None:
+            sq = sq * pf
+        return lmean + l1 * penalty.value(s.w, pf) + 0.5 * l2 * jnp.sum(sq)
+
     def fit_one_robust(state_in, gamma, l1, l2, lam_key, bk):
         """fit_one with in-program oscillation recovery (config.step_backoff).
 
@@ -668,12 +687,16 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
         tol (or non-finite: divergence reports final_change = inf), the
         signature of a step-size oscillation rather than slow convergence —
         is retried up to twice from the same warm-start state with the step
-        successively halved.  A retry is kept only if it actually does better
-        (converged, or lower deviance at equal return code), so a
-        slow-but-monotone code-1 fit keeps its original trajectory; a
-        winning halving sticks for deeper lambdas via the returned `bk`.
-        Implemented as a while_loop over attempts so the epoch program is
-        traced exactly once.  All attempts count toward npasses.
+        successively halved.  The attempt with the lowest PENALIZED
+        objective is kept, so a slow-but-monotone code-1 fit keeps its
+        original trajectory unless the retry genuinely lands closer to the
+        solution; the halving sticks for deeper lambdas (via the returned
+        `bk`) only when the winning retry actually CONVERGED — a still-code-1
+        winner must not ratchet the step down the whole path.  Implemented
+        as a while_loop over attempts so the epoch program is traced exactly
+        once.  All attempts count toward npasses.  Returns the kept
+        attempt's mean solver loss so the caller can derive the deviance
+        without another data pass.
         """
         losses0 = jnp.full((max_iter if config.debug else 0,), jnp.nan, dtype=state_in.w.dtype)
         dt = state_in.w.dtype
@@ -683,20 +706,24 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
             return jnp.logical_not(stop) & (attempt < 3)
 
         def abody(c):
-            attempt, _, b_state, b_it, b_losses, b_rel, b_code, b_dev, bk_out, tot = c
+            attempt, _, b_state, b_it, b_losses, b_rel, b_code, b_obj, b_lm, bk_out, tot = c
             gmul = bk * (0.5 ** attempt.astype(dt))
-            akey = jax.random.fold_in(lam_key, attempt)
+            # attempt 0 must use lam_key ITSELF so the no-retry trajectory is
+            # bit-identical to the pre-backoff engine (fold_in(k, 0) != k);
+            # retries fold in the attempt index for fresh permutations
+            akey = jnp.where(
+                attempt == 0, lam_key, jax.random.fold_in(lam_key, attempt)
+            )
             state_new, it_new, losses_new, rel_new = fit_one(state_in, gamma * gmul, l1, l2, akey)
             code_new = it_new >= max_iter
-            # a diverged attempt (nan deviance) must never win the
-            # comparison — and must not poison the warm-start state for
-            # deeper lambdas: if every attempt diverges, the best stays the
-            # (finite) input state with an honest code-1 report
-            dev_new = _dev(state_new)
-            dev_new = jnp.where(jnp.isfinite(dev_new), dev_new, jnp.asarray(jnp.inf, dt))
-            better = (jnp.logical_not(code_new) & b_code) | (
-                (code_new == b_code) & (dev_new < b_dev)
-            )
+            # a diverged attempt (non-finite objective) must never win — and
+            # must not poison the warm-start state for deeper lambdas: if
+            # every attempt diverges, the best stays the (finite) input
+            # state with an honest code-1 report
+            lm_new = _lmean(state_new)
+            obj_new = _objective(state_new, lm_new, l1, l2)
+            obj_new = jnp.where(jnp.isfinite(obj_new), obj_new, jnp.asarray(jnp.inf, dt))
+            better = obj_new < b_obj
             pick = lambda a, b: jax.tree_util.tree_map(
                 lambda u, v: jnp.where(better, u, v), a, b
             )
@@ -705,44 +732,57 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
             b_losses = jnp.where(better, losses_new, b_losses)
             b_rel = jnp.where(better, rel_new, b_rel)
             b_code = jnp.where(better, code_new, b_code)
-            b_dev = jnp.where(better, dev_new, b_dev)
-            bk_out = jnp.where((attempt > 0) & better, gmul, bk_out)
+            b_obj = jnp.where(better, obj_new, b_obj)
+            b_lm = jnp.where(better, lm_new, b_lm)
+            bk_out = jnp.where(
+                (attempt > 0) & better & jnp.logical_not(code_new), gmul, bk_out
+            )
             suspicious = code_new & (rel_new > 10.0 * tol)
             return (
                 attempt + 1, jnp.logical_not(suspicious), b_state, b_it,
-                b_losses, b_rel, b_code, b_dev, bk_out, tot + it_new,
+                b_losses, b_rel, b_code, b_obj, b_lm, bk_out, tot + it_new,
             )
 
-        # the initial "best" is the untouched input state at dev=inf: any
+        # the initial "best" is the untouched input state at obj=inf: any
         # finite attempt beats it, and if every attempt diverges the path
         # continues from the finite warm start with it=max_iter (code 1)
+        # and an inf deviance (computing the true warm-start loss here would
+        # cost a data pass on EVERY lambda for a corner that cannot happen
+        # without divergence)
         init = (
             jnp.int32(0), jnp.asarray(False), state_in, jnp.int32(max_iter), losses0,
-            jnp.asarray(jnp.inf, dt), jnp.asarray(True), jnp.asarray(jnp.inf, dt), bk,
-            jnp.int32(0),
+            jnp.asarray(jnp.inf, dt), jnp.asarray(True), jnp.asarray(jnp.inf, dt),
+            jnp.asarray(jnp.inf, dt), bk, jnp.int32(0),
         )
         c = jax.lax.while_loop(acond, abody, init)
-        _, _, b_state, b_it, b_losses, b_rel, b_code, b_dev, bk_out, tot = c
-        return b_state, b_it, b_losses, b_rel, b_code, b_dev, bk_out, tot
+        _, _, b_state, b_it, b_losses, b_rel, b_code, _, b_lm, bk_out, tot = c
+        return b_state, b_it, b_losses, b_rel, b_code, b_lm, bk_out, tot
 
     def scan_body(carry, xs):
         state, n_iter, bk = carry
         gamma, l1, l2, i = xs
         lam_key = jax.random.fold_in(key, i)
         if config.step_backoff:
-            state, it, losses, rel, code, dev, bk, att_it = fit_one_robust(
+            state, it, losses, rel, code, lmean, bk, att_it = fit_one_robust(
                 state, gamma, l1, l2, lam_key, bk
             )
+            dev_solver = 2.0 * w_total * lmean
+            if track_clamp_gap:
+                dev = _dev(state)  # exact reporting deviance (poisson)
+                gap = dev - dev_solver
+            else:  # reporting loss == solver loss: no extra pass needed
+                dev = dev_solver
+                gap = jnp.zeros((), dev.dtype)
         else:
             state, it, losses, rel = fit_one(state, gamma, l1, l2, lam_key)
             code = it >= max_iter
             dev = _dev(state)
             att_it = it
+            if track_clamp_gap:
+                gap = dev - _dev(state, report=False)
+            else:
+                gap = jnp.zeros((), dev.dtype)
         s_real = unpad(state)
-        if track_clamp_gap:
-            gap = dev - _dev(state, report=False)
-        else:
-            gap = jnp.zeros((), s_real.w.dtype)
         out = (s_real.w, s_real.intercept, dev, it, code.astype(jnp.int32), losses, gap, rel)
         return (state, n_iter + att_it, bk), out
 

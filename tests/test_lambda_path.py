@@ -140,8 +140,10 @@ def test_lambda_chunk_backoff_mechanics():
     x, y = random_data(n=64, p=6, seed=3)
     f = st.fit(x, y, nlambda=4, maxit=1, lambda_chunk=2, thresh=1e-12,
                dtype=np.float64)
-    # 2 chunks x (first attempt + 1-2 retries) x 2 lambdas x 1 epoch
-    assert 8 <= f.npasses <= 12
+    # two backoff layers compound here: per-lambda IN-PROGRAM retries
+    # (saga.py fit_one_robust, up to 3 attempts) x chunk-level retries
+    # (up to 3 runs per chunk) x 2 chunks x 2 lambdas x 1 epoch
+    assert 8 <= f.npasses <= 36
     assert (f.return_codes == 1).all()
 
 
