@@ -205,6 +205,7 @@ def fit(
     hybrid_head_dtype=None,
     g_sum_refresh_every: int = 1,
     lambda_chunk: int | None = None,
+    step_backoff: bool = True,
 ) -> SgdnetFit:
     """Fit an elastic-net regularized GLM path with batched SAGA.
 
@@ -933,6 +934,7 @@ def fit(
         g_sum_refresh_every=g_sum_refresh_every,
         sparse_mode=sparse_mode,
         sampling=sampling,
+        step_backoff=step_backoff,
         debug=debug,
         axis_name=None if mesh is None else "data",
         # fused Pallas head kernel default: ON exactly in the regime where

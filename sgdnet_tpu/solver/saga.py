@@ -599,7 +599,14 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
         unpad = lambda s: s
     max_iter = config.max_iter
 
-    def fit_one(state: SagaState, gamma, l1, l2, lam_key):
+    def fit_one(state: SagaState, gamma, l1, l2, lam_key, tol_eff=None):
+        # tol_eff: the relative-change criterion is scale-blind to the step
+        # size — halving gamma halves every per-epoch |dw| and the SAME tol
+        # then fires immediately on a warm start ("sham convergence",
+        # measured: a gamma/2 retry exiting after ~3 epochs far from the
+        # solution).  Retries therefore pass tol scaled by their step
+        # multiplier so equivalent true progress is required.
+        t_conv = tol if tol_eff is None else tol_eff
         losses0 = jnp.full((max_iter if config.debug else 0,), jnp.nan, dtype=state.w.dtype)
 
         def cond(carry):
@@ -629,7 +636,7 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
                 & jnp.all(jnp.isfinite(b_arr))
             )
             all_zero = (max_size == 0.0) & (max_change == 0.0)
-            no_change = finite & (max_size != 0.0) & (max_change <= tol * max_size)
+            no_change = finite & (max_size != 0.0) & (max_change <= t_conv * max_size)
             done = all_zero | no_change | jnp.logical_not(finite)
             rel = jnp.where(
                 finite & (max_size > 0.0),
@@ -683,16 +690,17 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
     def fit_one_robust(state_in, gamma, l1, l2, lam_key, bk):
         """fit_one with in-program oscillation recovery (config.step_backoff).
 
-        A suspicious exit — hit max_iter AND final relative change far above
-        tol (or non-finite: divergence reports final_change = inf), the
-        signature of a step-size oscillation rather than slow convergence —
-        is retried up to twice from the same warm-start state with the step
-        successively halved.  The attempt with the lowest PENALIZED
-        objective is kept, so a slow-but-monotone code-1 fit keeps its
-        original trajectory unless the retry genuinely lands closer to the
-        solution; the halving sticks for deeper lambdas (via the returned
-        `bk`) only when the winning retry actually CONVERGED — a still-code-1
-        winner must not ratchet the step down the whole path.  Implemented
+        Any code-1 exit (hit max_iter) is retried once from the same
+        warm-start state with the step halved; a second halving is spent
+        only when the exit is truly suspicious — final relative change far
+        above tol, or non-finite (divergence reports final_change = inf) —
+        the signature of oscillation rather than slow convergence.  The
+        attempt with the lowest PENALIZED objective is kept, so a
+        slow-but-monotone code-1 fit keeps its original trajectory unless
+        the retry genuinely lands closer to the solution; the halving
+        sticks for deeper lambdas (via the returned `bk`) only when the
+        winning retry actually CONVERGED — a still-code-1 winner must not
+        ratchet the step down the whole path.  Implemented
         as a while_loop over attempts so the epoch program is traced exactly
         once.  All attempts count toward npasses.  Returns the kept
         attempt's mean solver loss so the caller can derive the deviance
@@ -714,7 +722,10 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
             akey = jnp.where(
                 attempt == 0, lam_key, jax.random.fold_in(lam_key, attempt)
             )
-            state_new, it_new, losses_new, rel_new = fit_one(state_in, gamma * gmul, l1, l2, akey)
+            state_new, it_new, losses_new, rel_new = fit_one(
+                state_in, gamma * gmul, l1, l2, akey,
+                tol_eff=tol * jnp.maximum(gmul, 0.25),
+            )
             code_new = it_new >= max_iter
             # a diverged attempt (non-finite objective) must never win — and
             # must not poison the warm-start state for deeper lambdas: if
@@ -737,9 +748,16 @@ def _fit_path_impl(x, y, weights, xc, gammas, l1s, l2s, tol, key, state0, family
             bk_out = jnp.where(
                 (attempt > 0) & better & jnp.logical_not(code_new), gmul, bk_out
             )
+            # retry policy: ANY code-1 exit earns one halved-step retry (the
+            # objective guard keeps quality monotone; measured: lam[25..29]
+            # of the bench path exit code-1 with final_change only a few x
+            # tol yet converge cleanly at gamma/2 — a suspicious-only rule
+            # never fires there).  A SECOND halving is spent only on a truly
+            # suspicious exit (oscillation/divergence signature).
             suspicious = code_new & (rel_new > 10.0 * tol)
+            retry = jnp.where(attempt == 0, code_new, suspicious)
             return (
-                attempt + 1, jnp.logical_not(suspicious), b_state, b_it,
+                attempt + 1, jnp.logical_not(retry), b_state, b_it,
                 b_losses, b_rel, b_code, b_obj, b_lm, bk_out, tot + it_new,
             )
 
