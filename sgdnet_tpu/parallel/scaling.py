@@ -57,7 +57,12 @@ def measure_scaling(
         w = jnp.zeros((n_pad,), jnp.float32).at[:n].set(1.0)
         x, y, w = shard_inputs(mesh, x, y, w)
         config = SolverConfig(
-            batch_size=batch_per_device, max_iter=epochs, fit_intercept=True, axis_name="data"
+            batch_size=batch_per_device, max_iter=epochs, fit_intercept=True,
+            axis_name="data",
+            # fixed-epoch throughput measurement: tol=0 always exits code-1,
+            # which must NOT trigger the solver's in-program retry (it would
+            # triple the measured work)
+            step_backoff=False,
         )
         state0 = init_state(n_pad, p, 1, jnp.float32)
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -104,7 +104,8 @@ def main(D=16384):
     pen = select_penalty(1.0, "binomial")
     config = SolverConfig(batch_size=8192, max_iter=5, fit_intercept=True,
                           intercept_decay=0.01, sampling="block",
-                          g_sum_refresh_every=8, sparse_mode="gather")
+                          g_sum_refresh_every=8, sparse_mode="gather",
+                          step_backoff=False)  # stage-timing probe: no retries
     state = init_state(n_pad, x.n_cols, 1, jnp.float32)
     l1s = jnp.asarray([lam * 0.5], jnp.float32)
     l2s = jnp.zeros_like(l1s)
