@@ -58,7 +58,7 @@ def main():
         for rep in range(2):
             t0 = time.perf_counter()
             cv = st.cv_fit(x, y, **kw, **extra)
-            _ = float(np.asarray(cv.cv_mean).sum())  # force full readback
+            _ = float(np.asarray(cv.cv_summary["mean"]).sum())  # force full readback
             walls.append(time.perf_counter() - t0)
         results[label] = (walls, float(cv.lambda_min))
         log(f"{label}: cold {walls[0]:.2f}s, warm {walls[1]:.2f}s "
