@@ -128,7 +128,12 @@ def convergence_curve_trace(
         t_ep = w1 / e1
         overhead = 0.0
 
-    dbg = fit(x, y, maxit=maxit, thresh=0.0, debug=True, **base)
+    # thresh=0 always exits code-1, which would trigger the solver's
+    # in-program halved-step retries: the kept attempt could then be a
+    # smaller-step run whose trace reaches best loss only near maxit,
+    # inflating the derived time-to-best ~4-10x (measured round 5).  The
+    # trace fit is a fixed-epoch measurement — no retries.
+    dbg = fit(x, y, maxit=maxit, thresh=0.0, debug=True, step_backoff=False, **base)
     trace = np.asarray(dbg.diagnostics["loss"][0], dtype=np.float64)
     trace = trace[np.isfinite(trace)]
     if family == "gaussian":

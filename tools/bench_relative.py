@@ -63,12 +63,32 @@ def main():
 
         t_tight_ours = float(ours["times"][np.argmin(ours["losses"])])
         t_tight_sk = float(sk["times"][np.argmin(sk["losses"])])
+
+        def t_to_gap(c, frac=1e-3):
+            """Time to reach within frac of the SHARED loss span above the
+            shared best — the same criterion for both solvers (time-to-best
+            compares each solver at its own tightest stopping point, which
+            is not apples-to-apples)."""
+            ok = c["losses"] <= best + frac * span
+            return float(c["times"][np.argmax(ok)]) if ok.any() else float("inf")
+
+        # affine time model decomposition for our curve: t = overhead + e*t_ep
+        t_arr, e_arr = ours["times"], ours.get("epochs")
+        if e_arr is not None and len(e_arr) > 1:
+            t_ep = float((t_arr[-1] - t_arr[0]) / (e_arr[-1] - e_arr[0]))
+            ovh = float(t_arr[0] - e_arr[0] * t_ep)
+        else:
+            t_ep, ovh = float("nan"), float("nan")
         print(json.dumps({
             "panel": key,
             "our_best_loss": float(ours["losses"].min()),
             "sk_best_loss": float(sk["losses"].min()),
             "our_time_to_best_s": t_tight_ours,
             "sk_time_to_best_s": t_tight_sk,
+            "our_t_to_1e3span_s": t_to_gap(ours),
+            "sk_t_to_1e3span_s": t_to_gap(sk),
+            "our_overhead_s": ovh,
+            "our_epoch_s": t_ep,
         }), file=sys.stderr)
 
     axes[0, 0].set_ylabel("normalized loss gap", fontsize=9, color=INK)
