@@ -120,3 +120,19 @@ def test_divergence_never_poisons_warm_starts(osc_problem):
     # reported coefficients for non-recovered lambdas are the finite
     # fallback, never inf/nan
     assert np.isfinite(np.asarray(res.w)).all()
+
+
+def test_fit_step_backoff_kwarg():
+    """Public-API pass-through: on a path with no suspicious exits the
+    backoff machinery must be a bit-exact no-op (attempt 0 reuses the
+    unmodified lambda key), so fit(step_backoff=False) == the default."""
+    import sgdnet_tpu as st
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(80, 10))
+    y = x[:, 0] - x[:, 1] + 0.1 * rng.normal(size=80)
+    f_on = st.fit(x, y, nlambda=6, dtype=np.float64)
+    f_off = st.fit(x, y, nlambda=6, dtype=np.float64, step_backoff=False)
+    assert (f_on.return_codes == 0).all()
+    np.testing.assert_array_equal(f_on.beta, f_off.beta)
+    np.testing.assert_array_equal(f_on.a0, f_off.a0)
