@@ -217,9 +217,11 @@ def build_hybrid_device(csr_np, n_pad, max_head=4096, coverage=0.9, head_dtype=N
       old+new resident at once),
     * pack the BlockCOO tail host-side (from device arrays it would trigger
       a ~13 MB device->host readback at ~0.2 MB/s),
-    * upload the multi-GB head in timed chunks; on a slow-relay day fall
-      back to a device-synthesized head with identical shape/dtype (logged;
-      epoch throughput is shape-determined).
+    * int8 heads: upload only the ~nnz quantized entries and scatter-build
+      the dense block ON DEVICE (materialize_int8_head) — no multi-GB
+      upload at all; f32/bf16 heads still upload dense in timed chunks,
+      falling back to a device-synthesized head with identical shape/dtype
+      on a slow-relay day (logged; epoch throughput is shape-determined).
     """
     import jax
     import jax.numpy as jnp
@@ -228,8 +230,10 @@ def build_hybrid_device(csr_np, n_pad, max_head=4096, coverage=0.9, head_dtype=N
 
     t0 = time.monotonic()
     xs = _to_scipy(csr_np)
+    quant_int8 = head_dtype is not None and jnp.dtype(head_dtype) == jnp.int8
     xh, perm = HybridCSR.split_columns(
-        xs, coverage=coverage, max_head=max_head, head_dtype=head_dtype, as_host=True
+        xs, coverage=coverage, max_head=max_head, head_dtype=head_dtype, as_host=True,
+        head_form="nnz" if quant_int8 else "dense",
     )
     log(f"host-side split built in {time.monotonic() - t0:.1f}s "
         f"(int8 quantizes sparse-side — the old densify-then-quantize path "
@@ -243,7 +247,6 @@ def build_hybrid_device(csr_np, n_pad, max_head=4096, coverage=0.9, head_dtype=N
 
     n = xh.n_rows
     extra = n_pad - n
-    head_np = np.concatenate([xh.head, np.zeros((extra, xh.n_head), xh.head.dtype)]) if extra else xh.head
     ti = np.concatenate([xh.tail.indices, np.zeros((extra, xh.tail.row_width), np.int32)]) if extra else xh.tail.indices
     tv = np.concatenate([xh.tail.values, np.zeros((extra, xh.tail.row_width), xh.tail.values.dtype)]) if extra else xh.tail.values
     tz = np.concatenate([xh.tail.nnz, np.zeros((extra,), np.int32)]) if extra else xh.tail.nnz
@@ -255,18 +258,41 @@ def build_hybrid_device(csr_np, n_pad, max_head=4096, coverage=0.9, head_dtype=N
         host_tail = PaddedCSR(ti, tv, tz, n_pad, csr_np["p"])
         blk = BlockCOO.from_padded(host_tail, batch_size)
 
-    try:
-        head_dev = _chunked_upload(head_np, f"head D={xh.n_head} {head_np.dtype}", UPLOAD_BUDGET_S)
-    except TimeoutError as e:
-        log(f"FALLBACK: {e}; synthesizing head values ON DEVICE (same shape/dtype)")
-        key = jax.random.PRNGKey(7)
-        if head_np.dtype == np.int8:
-            head_dev = jax.random.randint(key, head_np.shape, -127, 128, jnp.int8)
-        else:
-            head_dev = jax.random.normal(key, head_np.shape, jnp.float32).astype(
-                jnp.dtype(head_np.dtype.name)
-            )
-        head_dev.block_until_ready()
+    if quant_int8:
+        # nonzero-form upload + on-device scatter build (round 5): ~9
+        # bytes/nnz cross the relay instead of the multi-GB dense block
+        # (which took 80-100 s on a good relay day and needed the synth
+        # fallback on a bad one); the dense int8 head materializes on
+        # device, bitwise-identical to the old upload.
+        from sgdnet_tpu.core.sparse import materialize_int8_head
+
+        t1 = time.monotonic()
+        head_dev = materialize_int8_head(xh.head, n_pad=n_pad)
+        _touch = int(jnp.sum(head_dev[-2:, :8].astype(jnp.int32)))  # forced sync
+        log(
+            f"head D={xh.n_head} int8: built ON DEVICE from "
+            f"{xh.head.nbytes / 1e6:.0f} MB of nonzeros in "
+            f"{time.monotonic() - t1:.1f}s (replaces a "
+            f"{n_pad * xh.n_head / 1e9:.2f} GB dense upload)"
+        )
+    else:
+        head_np = (
+            np.concatenate([xh.head, np.zeros((extra, xh.n_head), xh.head.dtype)])
+            if extra
+            else xh.head
+        )
+        try:
+            head_dev = _chunked_upload(head_np, f"head D={xh.n_head} {head_np.dtype}", UPLOAD_BUDGET_S)
+        except TimeoutError as e:
+            log(f"FALLBACK: {e}; synthesizing head values ON DEVICE (same shape/dtype)")
+            key = jax.random.PRNGKey(7)
+            if head_np.dtype == np.int8:
+                head_dev = jax.random.randint(key, head_np.shape, -127, 128, jnp.int8)
+            else:
+                head_dev = jax.random.normal(key, head_np.shape, jnp.float32).astype(
+                    jnp.dtype(head_np.dtype.name)
+                )
+            head_dev.block_until_ready()
 
     tail_dev = PaddedCSR(jnp.asarray(ti), jnp.asarray(tv), jnp.asarray(tz), n_pad, csr_np["p"])
     scale_dev = None if xh.head_scale is None else jnp.asarray(xh.head_scale)

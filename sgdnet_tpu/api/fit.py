@@ -409,7 +409,7 @@ def fit(
         _split_kw = dict(
             coverage=hybrid_coverage, max_head=hybrid_max_head,
             memory_budget=hybrid_memory_budget, head_dtype=jnp.int8,
-            dtype=dtype, as_host=True,
+            dtype=dtype, as_host=True, head_form="nnz",
         )
         if standardize:
             _m_o, _s_o = scipy_column_stats(_scipy_x, _w_host)
@@ -422,21 +422,16 @@ def fit(
         # upload head + tail; KEEP the tail host-side too — the BlockCOO
         # packing below needs numpy, and reading a device tail back through
         # the relay's ~0.2 MB/s device->host path costs minutes per fit.
-        # The multi-GB head goes up in row chunks: single >1.5 GB transfers
-        # destabilize the relay worker (same defense bench.py uses)
-        def _chunked_put(a, chunk_mb=256):
-            if a.nbytes <= (chunk_mb << 20):
-                return jnp.asarray(a)
-            rows = max(1, (chunk_mb << 20) // max(a[:1].nbytes, 1))
-            parts = [
-                jax.device_put(np.ascontiguousarray(a[i : i + rows]))
-                for i in range(0, a.shape[0], rows)
-            ]
-            return jnp.concatenate(parts, axis=0)
+        # The head goes up in NONZERO form (~9 bytes/nnz) and the dense
+        # int8 block is rebuilt on device (materialize_int8_head, round 5):
+        # the dense upload was ~80% of the measured ~120 s ingestion wall
+        # at D=32768, and the host-side (n, D) materialization most of the
+        # rest — both gone.
+        from sgdnet_tpu.core.sparse import materialize_int8_head
 
         _host_tail = _xh.tail  # numpy container
         x = HybridCSR(
-            _chunked_put(_xh.head),
+            materialize_int8_head(_xh.head),
             PaddedCSR(
                 jnp.asarray(_host_tail.indices), jnp.asarray(_host_tail.values),
                 jnp.asarray(_host_tail.nnz), _xh.n_rows, _xh.n_cols,

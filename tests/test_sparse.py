@@ -251,3 +251,49 @@ def test_hybrid_block_coo_fit_equals_permutation():
     from sgdnet_tpu.api.fit import _as_design_matrix
     scale = max(1.0, np.abs(f_perm.beta).max())
     np.testing.assert_allclose(f_blk.beta, f_perm.beta, atol=2e-3 * scale)
+
+
+def test_head_nnz_form_matches_dense_build():
+    """split_columns(head_form="nnz") + materialize_int8_head reproduces the
+    dense int8 head BITWISE — the round-5 ingestion path (upload ~nnz bytes,
+    scatter-build on device) must be indistinguishable from uploading the
+    dense block, including zero-row padding and both quantization modes
+    (raw, and standardization fused via std_stats)."""
+    import jax.numpy as jnp
+
+    from sgdnet_tpu.core.sparse import HybridCSR, materialize_int8_head, scipy_column_stats
+
+    rng = np.random.default_rng(77)
+    x = sp.random(
+        400, 350, density=0.06, random_state=5,
+        data_rvs=lambda k: rng.normal(size=k),
+    ).tocsr()
+    m, s = scipy_column_stats(x)
+    for std in (None, (m, s)):
+        kw = dict(coverage=0.9, max_head=128, head_dtype=jnp.int8, as_host=True, std_stats=std)
+        xd, pd_ = HybridCSR.split_columns(x, **kw)
+        xn, pn_ = HybridCSR.split_columns(x, head_form="nnz", **kw)
+        np.testing.assert_array_equal(pd_, pn_)
+        np.testing.assert_allclose(xn.head_scale, xd.head_scale)
+        np.testing.assert_array_equal(np.asarray(xn.tail.values), np.asarray(xd.tail.values))
+        got = np.asarray(materialize_int8_head(xn.head))
+        np.testing.assert_array_equal(got, xd.head)
+        # padded build == dense head + int8 zero rows (what fit() pads with)
+        got_pad = np.asarray(materialize_int8_head(xn.head, n_pad=xd.head.shape[0] + 13))
+        ref_pad = np.concatenate([xd.head, np.zeros((13, xd.head.shape[1]), np.int8)])
+        np.testing.assert_array_equal(got_pad, ref_pad)
+
+
+def test_fit_int8_ingestion_nnz_path():
+    """fit(hybrid_head_dtype="int8") on a scipy input — the host nnz-form
+    ingestion — matches the f32-head fit at the coefficient contract."""
+    rng = np.random.default_rng(41)
+    n, p = 320, 600
+    x = (rng.random((n, p)) < 0.05) * rng.normal(size=(n, p))
+    y = x[:, 1] * 1.5 - x[:, 2] + 0.1 * rng.normal(size=n)
+    xs = sp.csr_matrix(x)
+    common = dict(nlambda=5, thresh=1e-6, maxit=2000, batch_size=64, hybrid=True)
+    f32 = st.fit(xs, y, dtype=np.float64, **common)
+    f8 = st.fit(xs, y, hybrid_head_dtype="int8", lambda_path=f32.lambda_, **common)
+    scale = max(1.0, np.abs(f32.beta).max())
+    np.testing.assert_allclose(f8.beta, f32.beta, atol=5e-3 * scale)
