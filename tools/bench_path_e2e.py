@@ -13,6 +13,10 @@ reach the chip and the f32 head transient that crashed a D=16384 fit in
 round 3 is gone — D=16384 and the epoch-bench winner D=32768 both run
 through the public API (measured tables in RESULTS.md).
 
+Round 5: the head crosses in NONZERO form (~45 MB vs the 3.3 GB dense
+block) and is scatter-built on device (materialize_int8_head) — warm
+end-to-end wall 162.8 -> 60.2 s at D=32768 (RESULTS.md round-5 tables).
+
 The reference's analogous loop is the sgdnet path driver
 (/root/reference/src/sgdnet.cpp:217-273) running sequential C++ SAGA.
 
