@@ -20,6 +20,8 @@ the reference's.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -32,7 +34,18 @@ def power_iteration_sq_norm(x, x_center_scaled=None, n_iter: int = 30, seed: int
 
     With `x_center_scaled` given (sparse standardized path), the operator is
     (X - 1 c^T), applied without densifying.
+
+    Runs as ONE jitted program: the final Rayleigh-quotient matvec used to
+    run eagerly, which materialized the dequantized f32 head of an int8
+    hybrid (13 GB at bench scale) op by op — measured 12 s of fit()'s warm
+    prologue; jitted, XLA fuses the int8 convert into the matmuls and the
+    whole routine is a few head-stream passes (< 1 s).
     """
+    return _power_iteration_jit(x, x_center_scaled, n_iter=n_iter, seed=seed)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "seed"))
+def _power_iteration_jit(x, x_center_scaled, *, n_iter: int, seed: int):
     if isinstance(x, (PaddedCSR, HybridCSR)):
         p = x.n_cols
         dtype = x.values.dtype if isinstance(x, PaddedCSR) else x.head.dtype
